@@ -1,0 +1,14 @@
+"""Test configuration: force JAX onto a virtual 8-device CPU mesh.
+
+Bench runs happen on the real TPU chip; tests validate numerics and the
+multi-chip sharding story on XLA:CPU with 8 virtual devices, mirroring the
+reference's thread-smoke testing role (SURVEY.md §4, tests/multhithread.rs).
+"""
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
