@@ -53,7 +53,7 @@ _TELL_CORRECTION = (35733, 38967, 42495, 46340, 50535, 55109, 60097, 65535)
 
 def ec_ilog(v: int) -> int:
     """Index of the highest set bit, plus one; 0 for v==0 (entcode.c:41)."""
-    return v.bit_length()
+    return int(v).bit_length()
 
 
 class _Coder:

@@ -185,7 +185,7 @@ class CeltMode:
 
     def init_caps(self, lm: int, C: int) -> np.ndarray:
         """celt.c:272-281."""
-        cap = np.zeros(self.nb_ebands, dtype=np.int64)
+        cap = [0] * self.nb_ebands
         for i in range(self.nb_ebands):
             N = int(self.e_bands[i + 1] - self.e_bands[i]) << lm
             cap[i] = (int(self.cache_caps[self.nb_ebands * (2 * lm + C - 1) + i])
