@@ -1,0 +1,243 @@
+"""Batched TPU device pipeline for CELT (jax/jnp, jit-compatible).
+
+This is the device half of the SURVEY §7 design: the unit of work is a
+batch of independent streams ``[B, ...]``; every DSP stage below is a pure
+jnp program XLA fuses and tiles onto the MXU/VPU. The serial symbol coding
+stays on the host lane (``encoder.py``/``decoder.py`` are the scalar ground
+truth these functions are tested against).
+
+TPU-first design choice: the MDCT/IMDCT are expressed as dense matmuls
+against precomputed transform matrices rather than FFTs. For CELT's sizes
+(N2 ≤ 960) a [B·blocks, N2+ov] x [N2+ov, N2] matmul keeps the entire
+transform on the MXU in one fused op — the systolic array turns the extra
+FLOPs (vs FFT) into a wall-clock win at batch, and it sidesteps complex
+dtypes entirely. The matrices are derived mechanically from the validated
+scalar transforms in ``mdct.py`` (apply-to-identity), so parity is
+inherited.
+
+Encode side: preemphasis (FIR — trivially parallel), windowed forward MDCT
+(matmul), band energies (segment-sum matmul), normalisation, pitch
+cross-correlation (batched matmul).
+
+Decode side: band denormalisation (exp2 gains), IMDCT (matmul) + TDAC
+overlap, deemphasis (first-order IIR — log-depth associative scan).
+"""
+
+from __future__ import annotations
+
+import math
+from functools import lru_cache, partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .mdct import imdct_half, mdct_forward
+from .modes import EMEANS, standard_mode
+
+__all__ = [
+    "preemphasis_batch", "mdct_forward_batch", "band_energies_batch",
+    "normalise_batch", "denormalise_batch", "imdct_batch",
+    "deemphasis_batch", "celt_analysis_batch", "celt_synthesis_batch",
+    "pitch_xcorr_batch",
+]
+
+CELT_SIG_SCALE = 32768.0
+_MODE = standard_mode()
+
+
+def _np_const(x):
+    # numpy constants embed into jit traces without leaking tracers
+    return np.asarray(x, dtype=np.float32)
+
+
+@lru_cache(maxsize=None)
+def _mdct_matrix(n2: int) -> jnp.ndarray:
+    """[n2+overlap, n2] forward-MDCT matrix from the scalar transform."""
+    ov = _MODE.overlap
+    eye = np.eye(n2 + ov)
+    mat = mdct_forward(eye, _MODE.window)      # rows: response to e_i
+    return np.asarray(mat, np.float32)         # [n2+ov, n2]
+
+
+@lru_cache(maxsize=None)
+def _imdct_matrix(n2: int) -> jnp.ndarray:
+    """[n2, n2] raw (pre-mirror) inverse-MDCT matrix."""
+    eye = np.eye(n2)
+    mat = imdct_half(eye)
+    return np.asarray(mat, np.float32)
+
+
+@lru_cache(maxsize=None)
+def _band_matrix(lm: int) -> jnp.ndarray:
+    """[nbins, nbands] 0/1 membership matrix for segment reductions."""
+    m = _MODE
+    n = m.short_mdct_size << lm
+    mat = np.zeros((n, m.nb_ebands), np.float32)
+    for i in range(m.nb_ebands):
+        lo = int(m.e_bands[i]) << lm
+        hi = min(int(m.e_bands[i + 1]) << lm, n)
+        if lo < n:
+            mat[lo:hi, i] = 1.0
+    return mat
+
+
+def preemphasis_batch(pcm: jnp.ndarray, mem: jnp.ndarray,
+                      coef: float = 0.8500061035):
+    """celt_preemphasis as a batched FIR.
+
+    out[i] = 32768·x[i] − coef·32768·x[i−1]; the "recursion" in the C is
+    only a carried memory, so it vectorises exactly.
+    pcm: [B, N] in [-1, 1]; mem: [B] carried memory (= coef·x_last·32768).
+    Returns (sig [B, N], new_mem [B]).
+    """
+    x = pcm * CELT_SIG_SCALE
+    prev = jnp.concatenate([mem[:, None], coef * x[:, :-1]], axis=1)
+    out = x - prev
+    return out, coef * x[:, -1]
+
+
+def mdct_forward_batch(x: jnp.ndarray, n2: int) -> jnp.ndarray:
+    """Batched forward MDCT: [B, n2+overlap] -> [B, n2] via one MXU matmul.
+
+    Precision.HIGH (bf16x3 passes) keeps ~97 dB transform accuracy at ~15%
+    cost over raw bf16 — the right fidelity/throughput point for audio.
+    """
+    return jnp.matmul(x, _mdct_matrix(n2),
+                      precision=jax.lax.Precision.HIGH,
+                      preferred_element_type=jnp.float32)
+
+
+def band_energies_batch(spec: jnp.ndarray, lm: int) -> jnp.ndarray:
+    """bandE over a batch: [B, N] -> [B, nbEBands]."""
+    mat = _band_matrix(lm)
+    e2 = jnp.matmul(spec * spec, mat, preferred_element_type=jnp.float32)
+    return jnp.sqrt(1e-27 + e2)
+
+
+def normalise_batch(spec: jnp.ndarray, bandE: jnp.ndarray, lm: int
+                    ) -> jnp.ndarray:
+    """Unit-normalise each band ([B, N], [B, nbEBands]) -> [B, N]."""
+    mat = _band_matrix(lm)
+    gains = jnp.matmul(1.0 / (1e-27 + bandE), mat.T,
+                       preferred_element_type=jnp.float32)
+    return spec * gains
+
+
+def denormalise_batch(X: jnp.ndarray, bandLogE: jnp.ndarray, lm: int
+                      ) -> jnp.ndarray:
+    """Inverse of normalise given log energies ([B,N],[B,nb]) -> [B,N]."""
+    mat = _band_matrix(lm)
+    g = jnp.exp2(jnp.minimum(32.0, bandLogE
+                             + _np_const(np.asarray(EMEANS[:21]))))
+    gains = jnp.matmul(g, mat.T, preferred_element_type=jnp.float32)
+    return X * gains
+
+
+@lru_cache(maxsize=None)
+def _tdac_indices(n2: int, n_blocks: int):
+    ov = _MODE.overlap
+    ov2 = ov >> 1
+    i = np.arange(ov2)
+    starts = np.arange(n_blocks) * n2
+    lo_idx = (starts[:, None] + i[None, :]).ravel()
+    hi_idx = (starts[:, None] + ov - 1 - i[None, :]).ravel()
+    w1 = np.tile(_MODE.window[i], n_blocks)
+    w2 = np.tile(_MODE.window[ov - 1 - i], n_blocks)
+    return (lo_idx, hi_idx, np.asarray(w1, np.float32),
+            np.asarray(w2, np.float32))
+
+
+def imdct_batch(spec: jnp.ndarray, prev_tail: jnp.ndarray, n_blocks: int
+                ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Batched synthesis IMDCT + TDAC for one frame.
+
+    spec: [B, N] interleaved coefficients; prev_tail: [B, ov/2].
+    Returns (frame [B, N], new_tail [B, ov/2]).
+    """
+    Bn = n_blocks
+    Bs, N = spec.shape
+    n2 = N // Bn
+    ov2 = _MODE.overlap >> 1
+    # de-interleave blocks [B, Bn, n2], transform, re-flatten
+    s = spec.reshape(Bs, n2, Bn).transpose(0, 2, 1)
+    raw = jnp.matmul(s, _imdct_matrix(n2),
+                     precision=jax.lax.Precision.HIGH,
+                     preferred_element_type=jnp.float32)
+    flat = raw.reshape(Bs, Bn * n2)
+    buf = jnp.concatenate([prev_tail, flat], axis=-1)
+    lo_idx, hi_idx, w1, w2 = _tdac_indices(n2, Bn)
+    x2 = buf[:, lo_idx]
+    x1 = buf[:, hi_idx]
+    buf = buf.at[:, lo_idx].set(w2 * x2 - w1 * x1)
+    buf = buf.at[:, hi_idx].set(w1 * x2 + w2 * x1)
+    return buf[:, :N], buf[:, N:N + ov2]
+
+
+def deemphasis_batch(sig: jnp.ndarray, mem: jnp.ndarray,
+                     coef: float = 0.8500061035):
+    """First-order IIR deemphasis via log-depth associative scan.
+
+    tmp[i] = sig[i] + m[i];  m[i+1] = coef·tmp[i] = coef·sig[i] + coef·m[i]
+    sig: [B, N]; mem: [B]. Returns (pcm [B, N] scaled to [-1,1], new_mem).
+    """
+    B, N = sig.shape
+
+    def combine(a, b):
+        return (a[0] * b[0], b[0] * a[1] + b[1])
+
+    mults = jnp.full((B, N), coef, sig.dtype)
+    adds = coef * sig
+    cm, ca = jax.lax.associative_scan(combine, (mults, adds), axis=1)
+    m_shift = jnp.concatenate(
+        [mem[:, None], cm[:, :-1] * mem[:, None] + ca[:, :-1]], axis=1)
+    tmp = sig + m_shift
+    new_mem = cm[:, -1] * mem + ca[:, -1]
+    return tmp / CELT_SIG_SCALE, new_mem
+
+
+def pitch_xcorr_batch(x: jnp.ndarray, y: jnp.ndarray, max_pitch: int
+                      ) -> jnp.ndarray:
+    """Batched pitch cross-correlation: [B, len] x [B, len+max_pitch]
+    -> [B, max_pitch]."""
+    B, n = x.shape
+    idx = np.arange(max_pitch)[:, None] + np.arange(n)[None, :]
+    ymat = y[:, idx]                      # [B, max_pitch, n]
+    return jnp.einsum("bn,bpn->bp", x, ymat)
+
+
+# ---------------------------------------------------------------------------
+# Composite pipelines used by bench + graft entry
+
+@partial(jax.jit, static_argnames=("lm",))
+def celt_analysis_batch(pcm: jnp.ndarray, preemph_mem: jnp.ndarray,
+                        lm: int = 3):
+    """Device half of the CELT encoder for a batch of mono streams.
+
+    pcm: [B, N + overlap] in [-1, 1] (lapped input window); returns
+    (X normalised spectrum [B, N], bandE, bandLogE, new_preemph_mem).
+    Long-block (20 ms) path.
+    """
+    n2 = _MODE.short_mdct_size << lm
+    sig, new_mem = preemphasis_batch(pcm, preemph_mem)
+    spec = mdct_forward_batch(sig, n2)
+    bandE = band_energies_batch(spec, lm)
+    bandLogE = jnp.log2(bandE) - _np_const(np.asarray(EMEANS[:21]))
+    X = normalise_batch(spec, bandE, lm)
+    return X, bandE, bandLogE, new_mem
+
+
+@partial(jax.jit, static_argnames=("lm", "n_blocks"))
+def celt_synthesis_batch(X: jnp.ndarray, bandLogE: jnp.ndarray,
+                         syn_tail: jnp.ndarray, deemph_mem: jnp.ndarray,
+                         lm: int = 3, n_blocks: int = 1):
+    """Device half of the CELT decoder for a batch of mono streams.
+
+    X: [B, N] unit-norm spectrum; bandLogE: [B, nb]; returns
+    (pcm [B, N], new_tail, new_deemph_mem).
+    """
+    freq = denormalise_batch(X, bandLogE, lm)
+    frame, tail = imdct_batch(freq, syn_tail, n_blocks)
+    pcm, new_mem = deemphasis_batch(frame, deemph_mem)
+    return pcm, tail, new_mem

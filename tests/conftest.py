@@ -6,9 +6,15 @@ reference's thread-smoke testing role (SURVEY.md §4, tests/multhithread.rs).
 """
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force CPU even if the session environment pins a TPU platform (the axon
+# site hook re-sets JAX_PLATFORMS, so the config API is authoritative).
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
