@@ -1,0 +1,392 @@
+"""Public API surface mirroring the reference crate (src/*.rs).
+
+Parity map:
+  Encoder      <- src/encoder.rs   (CTL methods one-per-setting)
+  Decoder      <- src/decoder.rs
+  Repacketizer <- src/repacketizer.rs (repacketizer.c semantics)
+  packet utils <- src/packet.rs    (re-exported from bitstream.packet)
+
+Round-1 scope note: ``Encoder`` produces CELT-mode Opus packets for every
+application (valid, decodable-by-any-Opus streams at reference quality for
+music; SILK/hybrid *encode* modes land with the SILK encoder milestone —
+the decoder side already handles all modes bit-exactly).
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional
+
+import numpy as np
+
+from .bitstream import packet as pkt
+from .celt.encoder import CeltEncoder
+from .constants import MAX_FRAME_BYTES, max_frame_samples_for
+from .errors import ErrorCode, OpusError
+from .opus.decoder import OpusDecoder
+from .types import Application, Bandwidth, Bitrate, CodecMode, Signal
+
+__all__ = ["Encoder", "Decoder", "Repacketizer"]
+
+_CELT_END_BAND = {int(Bandwidth.NARROWBAND): 13, int(Bandwidth.WIDEBAND): 17,
+                  int(Bandwidth.MEDIUMBAND): 17,
+                  int(Bandwidth.SUPERWIDEBAND): 19,
+                  int(Bandwidth.FULLBAND): 21}
+
+_MAX_BANDWIDTH = {8000: Bandwidth.NARROWBAND, 12000: Bandwidth.WIDEBAND,
+                  16000: Bandwidth.WIDEBAND, 24000: Bandwidth.SUPERWIDEBAND,
+                  48000: Bandwidth.FULLBAND}
+
+
+class Encoder:
+    """Opus encoder (encoder.rs:40-707 surface)."""
+
+    def __init__(self, sample_rate: int, channels: int,
+                 application: Application):
+        if sample_rate not in (8000, 12000, 16000, 24000, 48000):
+            raise OpusError.bad_arg("bad sample rate")
+        if channels not in (1, 2):
+            raise OpusError.bad_arg("bad channels")
+        self.sample_rate = sample_rate
+        self.channels = channels
+        self.application = Application(application)
+        self.celt = CeltEncoder(sample_rate, channels)
+        self._bitrate = Bitrate.AUTO
+        self._vbr = True
+        self._vbr_constraint = True
+        self._complexity = 9
+        self._max_bandwidth = _MAX_BANDWIDTH[sample_rate]
+        self._bandwidth = Bandwidth.AUTO
+        self._signal = Signal.AUTO
+        self._inband_fec = False
+        self._packet_loss_perc = 0
+        self._dtx = False
+        self._lsb_depth = 24
+        self._force_channels: Optional[int] = None
+        self._prediction_disabled = False
+        self._phase_inversion_disabled = False
+        self._in_dtx = False
+        self.final_range = 0
+        self._apply_settings()
+
+    # -- settings plumbing -------------------------------------------------
+
+    def _auto_bitrate(self) -> int:
+        # opus_encoder.c user_bitrate_to_bitrate AUTO formula
+        return 60 * self.sample_rate // 960 * self.channels \
+            + self.sample_rate * self.channels
+
+    def _bitrate_bps(self) -> int:
+        if self._bitrate == Bitrate.AUTO:
+            return self._auto_bitrate()
+        if self._bitrate == Bitrate.MAX:
+            return -1
+        return self._bitrate.bps if isinstance(self._bitrate, Bitrate) \
+            else int(self._bitrate)
+
+    def _apply_settings(self):
+        bw = self._bandwidth if self._bandwidth != Bandwidth.AUTO \
+            else self._max_bandwidth
+        bw = Bandwidth(min(int(bw), int(self._max_bandwidth)))
+        self._effective_bw = bw
+        self.celt.end = _CELT_END_BAND[int(bw)]
+        bps = self._bitrate_bps()
+        self.celt.bitrate = -1 if bps < 0 else bps
+        self.celt.vbr = self._vbr
+        self.celt.constrained_vbr = self._vbr_constraint
+        self.celt.complexity = self._complexity
+        self.celt.lsb_depth = self._lsb_depth
+        self.celt.loss_rate = self._packet_loss_perc
+        self.celt.disable_pf = self._prediction_disabled
+
+    # -- encode ------------------------------------------------------------
+
+    def _frame_ms_x4(self, samples: int) -> int:
+        """Frame duration in quarter-milliseconds (validating)."""
+        q = samples * 4000 // self.sample_rate
+        if q not in (10, 20, 40, 80, 160, 240, 320, 400, 480) or \
+                q * self.sample_rate != samples * 4000:
+            raise OpusError.bad_arg(f"bad frame size {samples}")
+        return q
+
+    def encode_float(self, pcm: np.ndarray, max_bytes: int = 4000) -> bytes:
+        """pcm: interleaved float [-1,1], len = frame*channels (or [C, N])."""
+        if pcm.ndim == 1:
+            if len(pcm) % self.channels:
+                raise OpusError.bad_arg("pcm length % channels != 0")
+            frames = pcm.reshape(-1, self.channels).T
+        else:
+            frames = pcm
+        n = frames.shape[1]
+        if n > max_frame_samples_for(self.sample_rate):
+            raise OpusError.bad_arg("frame too long")
+        qms = self._frame_ms_x4(n)
+        f20 = self.sample_rate // 50
+        bps = self._bitrate_bps()
+
+        if qms <= 80:  # single CELT frame (2.5..20 ms)
+            framerate = 4000 // qms
+            nbytes = min(max_bytes, MAX_FRAME_BYTES)
+            if not self._vbr:
+                if bps <= 0:
+                    bps = self._auto_bitrate()
+                nbytes = min(nbytes, max(2, bps * n // (8 * self.sample_rate)))
+            frame = self.celt.encode_with_ec(frames, n, nbytes)
+            self.final_range = self.celt.rng
+            toc = pkt.gen_toc(CodecMode.CELT_ONLY, framerate,
+                              self._effective_bw, self.channels)
+            out = bytes([toc]) + frame
+        else:  # multiframe packet of 20 ms CELT frames
+            nb = qms // 80
+            per_budget = max_bytes // nb
+            subs = []
+            rng = 0
+            for i in range(nb):
+                sub = frames[:, i * f20:(i + 1) * f20]
+                nbytes = min(per_budget, MAX_FRAME_BYTES)
+                if not self._vbr:
+                    if bps <= 0:
+                        bps = self._auto_bitrate()
+                    nbytes = min(nbytes, max(
+                        2, bps * f20 // (8 * self.sample_rate)))
+                subs.append(self.celt.encode_with_ec(sub, f20, nbytes))
+                rng ^= self.celt.rng
+            self.final_range = rng
+            toc = pkt.gen_toc(CodecMode.CELT_ONLY, 50, self._effective_bw,
+                              self.channels)
+            out = pkt.build_packet(toc, subs, cbr=not self._vbr)
+        if len(out) > max_bytes:
+            raise OpusError.buffer_too_small()
+        return out
+
+    def encode(self, pcm_i16: np.ndarray, max_bytes: int = 4000) -> bytes:
+        """i16 input API (encoder.rs:80-126 validation semantics)."""
+        pcm_i16 = np.asarray(pcm_i16)
+        return self.encode_float(pcm_i16.astype(np.float64) / 32768.0,
+                                 max_bytes)
+
+    def encode_limited(self, pcm_i16: np.ndarray, max_bytes: int) -> bytes:
+        return self.encode(pcm_i16, max_bytes)
+
+    # -- CTLs (encoder.rs:249-698) ----------------------------------------
+
+    def set_bitrate(self, bitrate):
+        self._bitrate = bitrate
+        self._apply_settings()
+
+    def bitrate(self) -> int:
+        return self._bitrate_bps()
+
+    def set_vbr(self, vbr: bool):
+        self._vbr = bool(vbr)
+        self._apply_settings()
+
+    def vbr(self) -> bool:
+        return self._vbr
+
+    def set_vbr_constraint(self, c: bool):
+        self._vbr_constraint = bool(c)
+        self._apply_settings()
+
+    def vbr_constraint(self) -> bool:
+        return self._vbr_constraint
+
+    def set_complexity(self, c: int):
+        if not 0 <= c <= 10:
+            raise OpusError.bad_arg("complexity 0..=10")
+        self._complexity = c
+        self._apply_settings()
+
+    def complexity(self) -> int:
+        return self._complexity
+
+    def set_max_bandwidth(self, bw: Bandwidth):
+        self._max_bandwidth = Bandwidth(bw)
+        self._apply_settings()
+
+    def max_bandwidth(self) -> Bandwidth:
+        return self._max_bandwidth
+
+    def set_bandwidth(self, bw: Bandwidth):
+        self._bandwidth = Bandwidth(bw)
+        self._apply_settings()
+
+    def bandwidth(self) -> Bandwidth:
+        return self._effective_bw
+
+    def set_signal(self, s: Signal):
+        self._signal = Signal(s)
+
+    def signal(self) -> Signal:
+        return self._signal
+
+    def set_inband_fec(self, fec: bool):
+        self._inband_fec = bool(fec)
+
+    def inband_fec(self) -> bool:
+        return self._inband_fec
+
+    def set_packet_loss_perc(self, p: int):
+        if not 0 <= p <= 100:
+            raise OpusError.bad_arg("loss perc 0..=100")
+        self._packet_loss_perc = p
+        self._apply_settings()
+
+    def packet_loss_perc(self) -> int:
+        return self._packet_loss_perc
+
+    def set_dtx(self, dtx: bool):
+        self._dtx = bool(dtx)
+
+    def dtx(self) -> bool:
+        return self._dtx
+
+    def in_dtx(self) -> bool:
+        return self._in_dtx
+
+    def set_lsb_depth(self, depth: int):
+        if not 8 <= depth <= 24:
+            raise OpusError.bad_arg("lsb depth 8..=24")
+        self._lsb_depth = depth
+        self._apply_settings()
+
+    def lsb_depth(self) -> int:
+        return self._lsb_depth
+
+    def set_force_channels(self, ch: Optional[int]):
+        if ch is not None and ch not in (1, 2):
+            raise OpusError.bad_arg()
+        self._force_channels = ch
+
+    def force_channels(self) -> Optional[int]:
+        return self._force_channels
+
+    def set_prediction_disabled(self, d: bool):
+        self._prediction_disabled = bool(d)
+        self._apply_settings()
+
+    def prediction_disabled(self) -> bool:
+        return self._prediction_disabled
+
+    def set_phase_inversion_disabled(self, d: bool):
+        self._phase_inversion_disabled = bool(d)
+        self.celt.disable_inv = bool(d) or self.channels == 1
+
+    def phase_inversion_disabled(self) -> bool:
+        return self._phase_inversion_disabled
+
+    def lookahead(self) -> int:
+        # restricted-lowdelay lookahead: overlap only (Fs/400)
+        return self.sample_rate // 400
+
+    def get_final_range(self) -> int:
+        return self.final_range
+
+    def reset(self):
+        self.celt = CeltEncoder(self.sample_rate, self.channels)
+        self._apply_settings()
+
+
+class Decoder:
+    """Opus decoder (decoder.rs:35-385 surface)."""
+
+    def __init__(self, sample_rate: int, channels: int):
+        self._dec = OpusDecoder(sample_rate, channels)
+        self.sample_rate = sample_rate
+        self.channels = channels
+
+    def decode(self, data: Optional[bytes], frame_size: int,
+               fec: bool = False) -> np.ndarray:
+        """Empty/None input => PLC (decoder.rs:75-124). Returns int16
+        [N, channels]."""
+        if data is not None and len(data) == 0:
+            data = None
+        return self._dec.decode(data, frame_size, fec)
+
+    def decode_float(self, data: Optional[bytes], frame_size: int,
+                     fec: bool = False) -> np.ndarray:
+        if data is not None and len(data) == 0:
+            data = None
+        return self._dec.decode_float(data, frame_size, fec)
+
+    def packet_samples(self, data: bytes) -> int:
+        return pkt.packet_nb_samples(data, self.sample_rate)
+
+    @staticmethod
+    def packet_bandwidth(data: bytes) -> Bandwidth:
+        if not data:
+            raise OpusError.bad_arg()
+        return pkt.packet_bandwidth(data[0])
+
+    @staticmethod
+    def packet_channels(data: bytes) -> int:
+        if not data:
+            raise OpusError.bad_arg()
+        return pkt.packet_nb_channels(data[0])
+
+    def reset(self):
+        self._dec.reset()
+
+    def get_sample_rate(self) -> int:
+        return self.sample_rate
+
+    def get_pitch(self) -> int:
+        return self._dec.get_pitch()
+
+    def get_last_packet_duration(self) -> int:
+        return self._dec.get_last_packet_duration()
+
+    def get_final_range(self) -> int:
+        return self._dec.get_final_range()
+
+    def gain(self) -> int:
+        return self._dec.decode_gain
+
+    def set_gain(self, gain_q8: int):
+        self._dec.set_gain(gain_q8)
+
+    def set_phase_inversion_disabled(self, d: bool):
+        self._dec.celt.disable_inv = bool(d) or self.channels == 1
+
+    def phase_inversion_disabled(self) -> bool:
+        return self._dec.celt.disable_inv and self.channels != 1
+
+
+class Repacketizer:
+    """Merge/split packets (repacketizer.rs:23-93, repacketizer.c)."""
+
+    def __init__(self):
+        self.reset()
+
+    def reset(self):
+        self._toc = 0
+        self._framesize = 0
+        self._frames: List[bytes] = []
+
+    def cat(self, data: bytes):
+        """repacketizer.c:62-100."""
+        if len(data) < 1:
+            raise OpusError.invalid_packet()
+        if not self._frames:
+            self._toc = data[0]
+            self._framesize = pkt.samples_per_frame(data[0], 8000)
+        elif (self._toc & 0xFC) != (data[0] & 0xFC):
+            raise OpusError.invalid_packet("toc mismatch")
+        nb = pkt.packet_nb_frames(data)
+        if (nb + len(self._frames)) * self._framesize > 960:
+            raise OpusError.invalid_packet("exceeds 120 ms")
+        parsed = pkt.parse_packet(data)
+        self._frames.extend(parsed.frames)
+
+    def get_nb_frames(self) -> int:
+        return len(self._frames)
+
+    def out_range(self, begin: int, end: int, maxlen: int = 65535) -> bytes:
+        if begin < 0 or begin >= end or end > len(self._frames):
+            raise OpusError.bad_arg()
+        out = pkt.build_packet(self._toc, self._frames[begin:end])
+        if len(out) > maxlen:
+            raise OpusError.buffer_too_small()
+        return out
+
+    def out(self, maxlen: int = 65535) -> bytes:
+        return self.out_range(0, len(self._frames), maxlen)

@@ -350,3 +350,41 @@ def packet_unpad(packet: bytes) -> bytes:
     """Remove padding (opus_packet_unpad semantics)."""
     parsed = parse_packet(packet)
     return build_packet(parsed.toc, parsed.frames)
+
+
+def build_self_delimited(packet: bytes) -> bytes:
+    """Convert a normal packet to self-delimited framing (RFC 6716 App. B;
+    repacketizer.c out_range_impl self_delimited=1)."""
+    parsed = parse_packet(packet)
+    toc = parsed.toc
+    frames = parsed.frames
+    count = len(frames)
+    sizes = [len(f) for f in frames]
+    out = bytearray()
+    if count == 1:
+        out.append((toc & 0xFC) | 0)
+        out += encode_size(sizes[0])
+        out += frames[0]
+    elif count == 2 and sizes[0] == sizes[1]:
+        out.append((toc & 0xFC) | 1)
+        out += encode_size(sizes[1])
+        out += frames[0] + frames[1]
+    elif count == 2:
+        out.append((toc & 0xFC) | 2)
+        out += encode_size(sizes[0])
+        out += encode_size(sizes[1])
+        out += frames[0] + frames[1]
+    else:
+        cbr = all(s == sizes[0] for s in sizes)
+        ch = count | (0 if cbr else 0x80)
+        out.append((toc & 0xFC) | 3)
+        out.append(ch)
+        if cbr:
+            out += encode_size(sizes[-1])
+        else:
+            for s in sizes[:-1]:
+                out += encode_size(s)
+            out += encode_size(sizes[-1])
+        for f in frames:
+            out += f
+    return bytes(out)
