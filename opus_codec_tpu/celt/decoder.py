@@ -166,6 +166,8 @@ class CeltDecoder:
         self.oldLogE = np.full((2, nb), -28.0)
         self.oldLogE2 = np.full((2, nb), -28.0)
         self.backgroundLogE = np.full((2, nb), -28.0)
+        self.last_pitch_index = 0
+        self.plc_lpc = np.zeros((2, 24))
 
     # -- main entry (celt_decode_with_ec) ---------------------------------
 
@@ -463,21 +465,173 @@ class CeltDecoder:
             pcm[c] = scratch[::self.downsample][:Nd] / CELT_SIG_SCALE
         return pcm
 
-    # -- PLC (celt_decode_lost :604) — minimal for now --------------------
+    # -- PLC (celt_decode_lost :604-967, float) ---------------------------
 
     def _decode_lost(self, N, LM):
-        """Simplified concealment: fade the last frame's history.
-
-        Full pitch-based PLC (celt_decoder.c:604-967) lands with the PLC
-        milestone; this keeps the state machine consistent meanwhile.
-        """
+        from .pitch import celt_autocorr, celt_lpc, pitch_downsample, \
+            pitch_search
         m = self.mode
-        self.decode_mem[:, :-N] = self.decode_mem[:, N:]
-        fade = 0.8 ** (1 + self.loss_duration // max(1, N))
-        for c in range(self.channels):
-            seg = self.decode_mem[c, DECODE_BUFFER_SIZE - 2 * N:
-                                  DECODE_BUFFER_SIZE - N]
-            self.decode_mem[c, DECODE_BUFFER_SIZE - N:] = seg * fade
-        self.loss_duration = min(self.loss_duration + (1 << LM),
-                                 10000)
-        self.skip_plc = False
+        C = self.channels
+        overlap = m.overlap
+        loss_duration = self.loss_duration
+        start = self.start
+        noise_based = loss_duration >= 40 or start != 0 or self.skip_plc
+
+        if noise_based:
+            # Noise-based PLC/CNG (celt_decoder.c:648-699)
+            end = self.end
+            eff_end = max(start, min(end, m.eff_ebands))
+            self.decode_mem[:, :-N] = self.decode_mem[:, N:]
+            decay = 1.5 if loss_duration == 0 else 0.5
+            for c in range(C):
+                for i in range(start, end):
+                    self.oldBandE[c, i] = max(
+                        self.backgroundLogE[c, i],
+                        self.oldBandE[c, i] - decay)
+            seed = self.rng
+            X = [[0.0] * N for _ in range(C)]
+            for c in range(C):
+                for i in range(start, eff_end):
+                    boffs = int(m.e_bands[i]) << LM
+                    blen = int(m.e_bands[i + 1] - m.e_bands[i]) << LM
+                    for j in range(blen):
+                        seed = B_.celt_lcg_rand(seed)
+                        X[c][boffs + j] = float(
+                            np.int32(np.uint32(seed)) >> 20)
+                    B_.renormalise_vector(X[c], boffs, blen, 1.0)
+            self.rng = seed
+            self._synthesis(X[0], X[1] if C == 2 else None, start, eff_end,
+                            C, C, False, LM, False)
+            self.skip_plc = True
+        else:
+            # Pitch-based PLC (celt_decoder.c:700-962)
+            CELT_LPC_ORDER = 24
+            window = m.window
+            fade = 1.0
+            if loss_duration == 0:
+                lp = pitch_downsample(
+                    [self.decode_mem[c] for c in range(C)],
+                    DECODE_BUFFER_SIZE)
+                pitch_index = pitch_search(
+                    lp[PLC_PITCH_LAG_MAX >> 1:], lp,
+                    DECODE_BUFFER_SIZE - PLC_PITCH_LAG_MAX,
+                    PLC_PITCH_LAG_MAX - PLC_PITCH_LAG_MIN)
+                pitch_index = PLC_PITCH_LAG_MAX - pitch_index
+                self.last_pitch_index = pitch_index
+            else:
+                pitch_index = self.last_pitch_index
+                fade = 0.8
+            MAX_PERIOD = 1024
+            exc_length = min(2 * pitch_index, MAX_PERIOD)
+            for c in range(C):
+                buf = np.concatenate([self.decode_mem[c],
+                                      np.zeros(overlap)])
+                exc = buf[DECODE_BUFFER_SIZE - MAX_PERIOD - CELT_LPC_ORDER:
+                          DECODE_BUFFER_SIZE].copy()
+                # exc[k] for k>=CELT_LPC_ORDER are the MAX_PERIOD samples
+                if loss_duration == 0:
+                    # windowed autocorrelation (celt_lpc.c:277; window on
+                    # both edges of the MAX_PERIOD segment)
+                    seg = exc[CELT_LPC_ORDER:].copy()
+                    seg[:overlap] *= window
+                    seg[-overlap:] *= window[::-1]
+                    ac = np.array([float(np.dot(seg[:MAX_PERIOD - k],
+                                                seg[k:]))
+                                   for k in range(CELT_LPC_ORDER + 1)])
+                    ac[0] *= 1.0001
+                    for i in range(1, CELT_LPC_ORDER + 1):
+                        ac[i] -= ac[i] * (0.008 * 0.008) * i * i
+                    self.plc_lpc[c] = celt_lpc(ac, CELT_LPC_ORDER)
+                lpc_c = self.plc_lpc[c]
+                # whiten the last exc_length samples (celt_fir:
+                # y[i] = x[i] + sum lpc[j]*x[i-1-j])
+                base = MAX_PERIOD - exc_length + CELT_LPC_ORDER
+                fir_out = np.empty(exc_length)
+                for i in range(exc_length):
+                    s = exc[base + i]
+                    for j in range(CELT_LPC_ORDER):
+                        s += lpc_c[j] * exc[base + i - 1 - j]
+                    fir_out[i] = s
+                exc[base:base + exc_length] = fir_out
+
+                # decay estimation (celt_decoder.c:797-814)
+                decay_length = exc_length >> 1
+                E1 = E2 = 1.0
+                for i in range(decay_length):
+                    e = exc[CELT_LPC_ORDER + MAX_PERIOD
+                            - decay_length + i]
+                    E1 += e * e
+                    e = exc[CELT_LPC_ORDER + MAX_PERIOD
+                            - 2 * decay_length + i]
+                    E2 += e * e
+                E1 = min(E1, E2)
+                decay = math.sqrt(E1 / E2)
+
+                # shift history left by N
+                buf[:DECODE_BUFFER_SIZE - N] = buf[N:DECODE_BUFFER_SIZE]
+
+                # periodic extrapolation of the excitation
+                extrapolation_offset = MAX_PERIOD - pitch_index
+                extrapolation_len = N + overlap
+                attenuation = fade * decay
+                S1 = 0.0
+                j = 0
+                for i in range(extrapolation_len):
+                    if j >= pitch_index:
+                        j -= pitch_index
+                        attenuation = attenuation * decay
+                    buf[DECODE_BUFFER_SIZE - N + i] = attenuation * exc[
+                        CELT_LPC_ORDER + extrapolation_offset + j]
+                    tmp = buf[DECODE_BUFFER_SIZE - MAX_PERIOD - N
+                              + extrapolation_offset + j]
+                    S1 += tmp * tmp
+                    j += 1
+
+                # synthesis filter (celt_iir: y[i] = x[i] - sum lpc*y[-1-j])
+                mem = [buf[DECODE_BUFFER_SIZE - N - 1 - i]
+                       for i in range(CELT_LPC_ORDER)]
+                for i in range(extrapolation_len):
+                    s = buf[DECODE_BUFFER_SIZE - N + i]
+                    for jj in range(CELT_LPC_ORDER):
+                        s -= lpc_c[jj] * mem[jj]
+                    mem = [s] + mem[:-1]
+                    buf[DECODE_BUFFER_SIZE - N + i] = s
+
+                # energy guard (celt_decoder.c:864-901)
+                S2 = float(np.dot(
+                    buf[DECODE_BUFFER_SIZE - N:
+                        DECODE_BUFFER_SIZE - N + extrapolation_len],
+                    buf[DECODE_BUFFER_SIZE - N:
+                        DECODE_BUFFER_SIZE - N + extrapolation_len]))
+                if not (S1 > 0.2 * S2):
+                    buf[DECODE_BUFFER_SIZE - N:
+                        DECODE_BUFFER_SIZE - N + extrapolation_len] = 0.0
+                elif S1 < S2:
+                    ratio = math.sqrt((S1 + 1) / (S2 + 1))
+                    for i in range(overlap):
+                        g = 1.0 - window[i] * (1.0 - ratio)
+                        buf[DECODE_BUFFER_SIZE - N + i] *= g
+                    buf[DECODE_BUFFER_SIZE - N + overlap:
+                        DECODE_BUFFER_SIZE - N + extrapolation_len] *= ratio
+
+                self.decode_mem[c] = buf[:DECODE_BUFFER_SIZE]
+                # Fold the extrapolated overlap tail into the raw IMDCT
+                # carry (prefilter_and_fold, celt_decoder.c:515-550) so the
+                # next frame's TDAC blends with the concealed audio.
+                etmp = np.zeros(overlap)
+                tail_region = buf[DECODE_BUFFER_SIZE:
+                                  DECODE_BUFFER_SIZE + overlap].copy()
+                comb_filter(etmp, 0, buf, DECODE_BUFFER_SIZE,
+                            max(self.postfilter_period_old,
+                                COMBFILTER_MINPERIOD),
+                            max(self.postfilter_period,
+                                COMBFILTER_MINPERIOD),
+                            overlap, -self.postfilter_gain_old,
+                            -self.postfilter_gain,
+                            self.postfilter_tapset_old,
+                            self.postfilter_tapset, None, 0)
+                for i in range(overlap // 2):
+                    self.syn_tail[c, i] = (window[i] * etmp[overlap - 1 - i]
+                                           + window[overlap - i - 1]
+                                           * etmp[i])
+        self.loss_duration = min(10000, loss_duration + (1 << LM))
