@@ -106,6 +106,20 @@ class RangeEncoder(_Coder):
         self.ext = 0
         self.error = 0
 
+    # -- state snapshot (the reference copies the whole ec_enc struct,
+    # e.g. dred_encoder.c:349 `ec_bak = ec_encoder`) ----------------------
+
+    def save(self) -> tuple:
+        return (bytes(self.buf), self.end_offs, self.end_window,
+                self.nend_bits, self.nbits_total, self.offs, self.rng,
+                self.rem, self.val, self.ext, self.error)
+
+    def restore(self, state: tuple) -> None:
+        (buf, self.end_offs, self.end_window, self.nend_bits,
+         self.nbits_total, self.offs, self.rng, self.rem, self.val,
+         self.ext, self.error) = state
+        self.buf = bytearray(buf)
+
     # -- byte output ------------------------------------------------------
 
     def _write_byte(self, value: int) -> int:
