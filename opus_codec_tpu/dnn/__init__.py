@@ -18,6 +18,8 @@ from .dred import RDOVAEEncoder, RDOVAEDecoder
 from .features import LpcNetFeatures, burg_cepstral_analysis
 from .pitchdnn import PitchDNN
 from .lpcnet_plc import DeepPLC, PLCModel
+from .osce import LaceModel, NoLaceModel, OsceEnhancer
+from .osce_features import OsceFeatureState, SilkFrameInfo
 
 __all__ = [
     "WeightArray", "parse_weights", "write_weights", "linear_init",
@@ -27,5 +29,6 @@ __all__ = [
     "compute_glu", "compute_generic_conv1d",
     "FarganModel", "FarganState", "RDOVAEEncoder", "RDOVAEDecoder",
     "LpcNetFeatures", "burg_cepstral_analysis", "PitchDNN", "DeepPLC",
-    "PLCModel",
+    "PLCModel", "LaceModel", "NoLaceModel", "OsceEnhancer",
+    "OsceFeatureState", "SilkFrameInfo",
 ]
