@@ -293,6 +293,12 @@ class Decoder:
         self._dec = OpusDecoder(sample_rate, channels)
         self.sample_rate = sample_rate
         self.channels = channels
+        self._complexity = 0
+        self._deep_plc = None        # dnn.DeepPLC when a blob is loaded
+        self._dred_dec = None        # opus.dred_api.DredDecoder
+        self._dred_duration_ms = 0
+        self._up16 = None            # 16 kHz <-> Fs resamplers
+        self._down16 = None
 
     def decode(self, data: Optional[bytes], frame_size: int,
                fec: bool = False) -> np.ndarray:
@@ -300,13 +306,147 @@ class Decoder:
         [N, channels]."""
         if data is not None and len(data) == 0:
             data = None
-        return self._dec.decode(data, frame_size, fec)
+        if data is None and self._use_deep_plc(frame_size):
+            out = self._deep_conceal(frame_size)
+            return np.clip(np.floor(0.5 + 32768.0 * out), -32768,
+                           32767).astype(np.int16)
+        out = self._dec.decode(data, frame_size, fec)
+        self._deep_update(out.astype(np.float32) / 32768.0)
+        return out
 
     def decode_float(self, data: Optional[bytes], frame_size: int,
                      fec: bool = False) -> np.ndarray:
         if data is not None and len(data) == 0:
             data = None
-        return self._dec.decode_float(data, frame_size, fec)
+        if data is None and self._use_deep_plc(frame_size):
+            return self._deep_conceal(frame_size)
+        out = self._dec.decode_float(data, frame_size, fec)
+        self._deep_update(out)
+        return out
+
+    # -- deep PLC / DRED (decoder.rs:348-385; opus_decoder.c:417-427,
+    # 670-711, 1460-1507) ------------------------------------------------
+
+    def set_complexity(self, c: int):
+        """Decoder complexity: >=5 enables deep PLC when a DNN blob is
+        loaded (opus_decoder.c:417-427)."""
+        if not 0 <= c <= 10:
+            raise OpusError.bad_arg("complexity out of range")
+        self._complexity = c
+
+    def complexity(self) -> int:
+        return self._complexity
+
+    def set_dnn_blob(self, blob: bytes):
+        """Load PLC/FARGAN (+ RDO-VAE decoder when present) weights
+        (decoder.rs:368-385 set_dnn_blob; opus_decoder.c:1050-1062)."""
+        from .dnn import DeepPLC
+        self._deep_plc = DeepPLC.from_blob(blob)
+        try:
+            from .opus.dred_api import DredDecoder
+            self._dred_dec = DredDecoder.from_blob(blob)
+        except KeyError:
+            self._dred_dec = None   # blob has no RDO-VAE decoder
+        from .silk.resampler import Resampler
+        if self.sample_rate != 16000:
+            self._up16 = Resampler(16000, self.sample_rate)
+            self._down16 = Resampler(self.sample_rate, 16000,
+                                     for_enc=True)
+
+    def set_dred_duration(self, ms: int):
+        """decoder.rs:348-366: how much DRED to request on parse."""
+        if not 0 <= ms <= 104 * 10:
+            raise OpusError.bad_arg("DRED duration out of range")
+        self._dred_duration_ms = ms
+
+    def dred_duration(self) -> int:
+        return self._dred_duration_ms
+
+    def dred_parse(self, data: bytes, defer_processing: bool = False):
+        """opus_dred_parse convenience on this decoder's DRED decoder.
+        Returns (dred, nb_samples_at_Fs, dred_end)."""
+        if self._dred_dec is None:
+            raise OpusError(ErrorCode.UNIMPLEMENTED, "no DNN blob loaded")
+        max_samples = (self._dred_duration_ms * self.sample_rate // 1000
+                       or 48000)
+        return self._dred_dec.parse(data, max_samples, self.sample_rate,
+                                    defer_processing)
+
+    def dred_decode_float(self, dred, dred_offset: int,
+                          frame_size: int) -> np.ndarray:
+        """opus_decoder_dred_decode_float (opus_decoder.c:1494-1507):
+        synthesise ``frame_size`` samples from DRED features via the
+        deep-PLC vocoder.  ``dred_offset`` is in samples at Fs, counted
+        back from the end of the lost region (decoder.rs:109-224)."""
+        if self._deep_plc is None:
+            raise OpusError(ErrorCode.UNIMPLEMENTED, "no DNN blob loaded")
+        if frame_size <= 0 or frame_size % (self.sample_rate // 100):
+            raise OpusError.bad_arg("frame size not a 10 ms multiple")
+        if dred.process_stage != 2:
+            self._dred_dec.process(dred)
+        plc = self._deep_plc
+        F10 = self.sample_rate // 100
+        plc.fec_clear()
+        init_frames = 2 if plc.blend == 0 else 0
+        features_per_frame = max(1, frame_size // F10)
+        needed = init_frames + features_per_frame
+        for i in range(needed):
+            # opus_decode_native:700-707 feature scheduling
+            off = init_frames - i - 2 + int(np.floor(
+                (dred_offset + dred.dred_offset * F10 / 4) / F10))
+            if 0 <= off <= 4 * dred.nb_latents - 1:
+                plc.fec_add(dred.features[off])
+            elif off >= 0:
+                plc.fec_add(None)
+        return self._deep_conceal(frame_size)
+
+    def dred_decode(self, dred, dred_offset: int,
+                    frame_size: int) -> np.ndarray:
+        out = self.dred_decode_float(dred, dred_offset, frame_size)
+        return np.clip(np.floor(0.5 + 32768.0 * out), -32768,
+                       32767).astype(np.int16)
+
+    def _use_deep_plc(self, frame_size: int) -> bool:
+        return (self._deep_plc is not None and self._complexity >= 5
+                and frame_size % (self.sample_rate // 100) == 0)
+
+    def _deep_update(self, pcm: np.ndarray):
+        """Feed good decoded audio (mono-downmixed, 16 kHz) to the PLC
+        history, in 10 ms steps."""
+        if self._deep_plc is None or self._complexity < 5:
+            return
+        mono = pcm.mean(axis=1) if pcm.ndim == 2 else pcm
+        x16 = self._to16k(mono)
+        for i in range(len(x16) // 160):
+            self._deep_plc.update(x16[i * 160:(i + 1) * 160])
+
+    def _deep_conceal(self, frame_size: int) -> np.ndarray:
+        n10 = frame_size // (self.sample_rate // 100)
+        out = np.empty((frame_size, self.channels), np.float32)
+        for i in range(n10):
+            x16 = self._deep_plc.conceal()
+            x = self._from16k(x16)
+            sl = slice(i * self.sample_rate // 100,
+                       (i + 1) * self.sample_rate // 100)
+            out[sl] = x[:, None]
+        self._dec.prev_mode = 0      # next real frame handles transition
+        return out
+
+    def _to16k(self, x: np.ndarray) -> np.ndarray:
+        if self.sample_rate == 16000:
+            return np.asarray(x, np.float32)
+        y = self._down16.process(
+            np.clip(32768.0 * np.asarray(x), -32768, 32767).astype(
+                np.int64))
+        return np.asarray(y, np.float32) / 32768.0
+
+    def _from16k(self, x16: np.ndarray) -> np.ndarray:
+        if self.sample_rate == 16000:
+            return np.asarray(x16, np.float32)
+        y = self._up16.process(
+            np.clip(32768.0 * np.asarray(x16), -32768, 32767).astype(
+                np.int64))
+        return np.asarray(y, np.float32) / 32768.0
 
     def packet_samples(self, data: bytes) -> int:
         return pkt.packet_nb_samples(data, self.sample_rate)

@@ -156,3 +156,59 @@ def test_dred_in_packet_end_to_end():
     assert np.all(np.isfinite(dred.features))
     assert dred.dred_offset == 14
     assert nb == 2 * 48000 // 25 - 14 * 48000 // 400
+
+
+def test_decoder_deep_plc_and_dred_api():
+    """Decoder-level glue: set_dnn_blob + complexity>=5 routes PLC
+    through the neural path; dred_decode synthesises from redundancy
+    (opus_decoder.c:417-427, 670-711, 1460-1507 analogues)."""
+    import sys, os
+    sys.path.insert(0, os.path.dirname(__file__))
+    from test_dnn import _dred_blob, _fargan_blob
+    from test_deep_plc import _plc_blob
+    from opus_codec_tpu import Decoder, Encoder
+    from opus_codec_tpu.types import Application, Bitrate
+    from opus_codec_tpu.dnn import weights as wtm
+
+    rng = np.random.default_rng(21)
+    # combined blob: PLC + FARGAN + RDO-VAE
+    combined = (_plc_blob(rng) + _fargan_blob(rng) + _dred_blob(rng))
+
+    enc = Encoder(48000, 1, Application.VOIP)
+    enc.set_bitrate(Bitrate(32000))
+    dec = Decoder(48000, 1)
+    dec.set_dnn_blob(combined)
+    dec.set_complexity(5)
+    dec.set_dred_duration(1000)
+
+    t = np.arange(960 * 8)
+    sig = (0.3 * np.sin(2 * np.pi * 220 * t / 48000)).astype(np.float32)
+    for i in range(6):
+        p = enc.encode_float(sig[i * 960:(i + 1) * 960])
+        out = dec.decode_float(p, 960)
+        assert out.shape == (960, 1)
+    # lost frame -> neural concealment path
+    out = dec.decode_float(None, 960)
+    assert out.shape == (960, 1)
+    assert np.all(np.isfinite(out))
+    out2 = dec.decode(None, 960)
+    assert out2.dtype == np.int16
+
+    # DRED synthesis path
+    from opus_codec_tpu.opus.dred_api import Dred
+    from opus_codec_tpu.dnn.dred_coding import DredStats
+    lat = rng.standard_normal((3, 16)).astype(np.float32)
+    st = rng.standard_normal(8).astype(np.float32)
+    d = Dred(state=st, latents=lat, nb_latents=3, dred_offset=0,
+             process_stage=1)
+    pcm = dec.dred_decode_float(d, dred_offset=0, frame_size=1920)
+    assert pcm.shape == (1920, 1)
+    assert np.all(np.isfinite(pcm))
+    assert d.process_stage == 2            # processed on demand
+
+    # guards
+    dec2 = Decoder(48000, 1)
+    with pytest.raises(Exception):
+        dec2.dred_decode_float(d, 0, 960)  # no blob loaded
+    with pytest.raises(Exception):
+        dec.dred_decode_float(d, 0, 7)     # not a 10 ms multiple
