@@ -20,6 +20,7 @@ from .pitchdnn import PitchDNN
 from .lpcnet_plc import DeepPLC, PLCModel
 from .osce import LaceModel, NoLaceModel, OsceEnhancer
 from .osce_features import OsceFeatureState, SilkFrameInfo
+from .lossgen import LossGen
 
 __all__ = [
     "WeightArray", "parse_weights", "write_weights", "linear_init",
@@ -30,5 +31,5 @@ __all__ = [
     "FarganModel", "FarganState", "RDOVAEEncoder", "RDOVAEDecoder",
     "LpcNetFeatures", "burg_cepstral_analysis", "PitchDNN", "DeepPLC",
     "PLCModel", "LaceModel", "NoLaceModel", "OsceEnhancer",
-    "OsceFeatureState", "SilkFrameInfo",
+    "OsceFeatureState", "SilkFrameInfo", "LossGen",
 ]

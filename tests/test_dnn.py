@@ -393,3 +393,23 @@ def test_dred_encoder_is_stateful():
     enc.reset()
     l3, _ = enc.encode_dframe(x)
     np.testing.assert_array_equal(l1, l3)
+
+
+def test_lossgen_synthetic():
+    """Loss simulator: loads by name, burn-in happens once, output is a
+    0/1 sequence reproducible under a fixed seed."""
+    from opus_codec_tpu.dnn.lossgen import LossGen
+    rng = np.random.default_rng(12)
+    arrays = []
+    arrays += _dense_arrays("lossgen_dense_in", 2, 8, rng)
+    arrays += _gru_arrays("lossgen_gru1", 8, 8, rng)
+    arrays += _gru_arrays("lossgen_gru2", 8, 8, rng)
+    arrays += _dense_arrays("lossgen_dense_out", 8, 1, rng)
+    blob = wt.write_weights(arrays)
+    g1 = LossGen.from_blob(blob, seed=7)
+    trace = g1.trace(400, 0.2)
+    assert set(np.unique(trace)).issubset({0, 1})
+    g2 = LossGen.from_blob(blob, seed=7)
+    np.testing.assert_array_equal(trace, g2.trace(400, 0.2))
+    g2.reset()
+    assert not g2.used
