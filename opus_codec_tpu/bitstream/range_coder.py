@@ -193,10 +193,11 @@ class RangeEncoder(_Coder):
         """Code symbol ``s`` with inverse-CDF table scaled by 2**ftb."""
         r = self.rng >> ftb
         if s > 0:
-            self.val = (self.val + self.rng - r * icdf[s - 1]) & _M32
-            self.rng = r * (icdf[s - 1] - icdf[s])
+            hi = int(icdf[s - 1])
+            self.val = (self.val + self.rng - r * hi) & _M32
+            self.rng = r * (hi - int(icdf[s]))
         else:
-            self.rng -= r * icdf[s]
+            self.rng -= r * int(icdf[s])
         self._normalize()
 
     def enc_uint(self, fl: int, ft: int) -> None:

@@ -905,6 +905,10 @@ class SilkChannelState:
             pulses = decode_pulses(dec, self.indices.signalType,
                                    self.indices.quantOffsetType,
                                    self.frame_length)
+            if getattr(self, "trace", None) is not None:
+                import copy
+                self.trace.append((copy.deepcopy(self.indices),
+                                   list(pulses), cond_coding))
             ctrl = self.decode_parameters(cond_coding)
             frame = self.decode_core(ctrl, pulses)
             mv_len = self.ltp_mem_length - self.frame_length
