@@ -31,7 +31,7 @@ A_LIMIT = int(0.99975 * (1 << QA_PRED) + 0.5)
 class NLSFCodebook:
     def __init__(self, n_vectors, order, quant_step_q16, cb1_nlsf_q8,
                  cb1_wght_q9, cb1_icdf, pred_q8, ec_sel, ec_icdf,
-                 delta_min_q15):
+                 delta_min_q15, ec_rates_q5=None):
         self.n_vectors = n_vectors
         self.order = order
         self.quant_step_q16 = quant_step_q16
@@ -42,17 +42,20 @@ class NLSFCodebook:
         self.ec_sel = ec_sel
         self.ec_icdf = ec_icdf
         self.delta_min_q15 = delta_min_q15
+        self.ec_rates_q5 = ec_rates_q5
 
 
 # tables_NLSF_CB_WB.c:34-45 / tables_NLSF_CB_NB_MB.c struct definitions
 CB_WB = NLSFCodebook(32, 16, int(0.15 * 65536 + 0.5), T.NLSF_CB1_WB_Q8,
                      T.NLSF_CB1_WB_Wght_Q9, T.NLSF_CB1_iCDF_WB,
                      T.NLSF_PRED_WB_Q8, T.NLSF_CB2_SELECT_WB,
-                     T.NLSF_CB2_iCDF_WB, T.NLSF_DELTA_MIN_WB_Q15)
+                     T.NLSF_CB2_iCDF_WB, T.NLSF_DELTA_MIN_WB_Q15,
+                     T.NLSF_CB2_BITS_WB_Q5)
 CB_NB_MB = NLSFCodebook(32, 10, int(0.18 * 65536 + 0.5), T.NLSF_CB1_NB_MB_Q8,
                         T.NLSF_CB1_Wght_Q9, T.NLSF_CB1_iCDF_NB_MB,
                         T.NLSF_PRED_NB_MB_Q8, T.NLSF_CB2_SELECT_NB_MB,
-                        T.NLSF_CB2_iCDF_NB_MB, T.NLSF_DELTA_MIN_NB_MB_Q15)
+                        T.NLSF_CB2_iCDF_NB_MB, T.NLSF_DELTA_MIN_NB_MB_Q15,
+                        T.NLSF_CB2_BITS_NB_MB_Q5)
 
 
 def nlsf_unpack(cb: NLSFCodebook, cb1_index: int):
