@@ -19,6 +19,7 @@ from typing import List, Optional
 import numpy as np
 
 from .bitstream import packet as pkt
+from .bitstream.range_coder import RangeEncoder
 from .celt.encoder import CeltEncoder
 from .constants import MAX_FRAME_BYTES, max_frame_samples_for
 from .errors import ErrorCode, OpusError
@@ -123,6 +124,9 @@ class Encoder:
         f20 = self.sample_rate // 50
         bps = self._bitrate_bps()
 
+        if self._use_silk_mode(qms, bps):
+            return self._encode_silk(frames, qms, bps, max_bytes)
+
         if qms <= 80:  # single CELT frame (2.5..20 ms)
             framerate = 4000 // qms
             nbytes = min(max_bytes, MAX_FRAME_BYTES)
@@ -154,6 +158,76 @@ class Encoder:
             toc = pkt.gen_toc(CodecMode.CELT_ONLY, 50, self._effective_bw,
                               self.channels)
             out = pkt.build_packet(toc, subs, cbr=not self._vbr)
+        if len(out) > max_bytes:
+            raise OpusError.buffer_too_small()
+        return out
+
+    # -- SILK mode (opus_encoder.c:1329-1396 mode decision, simplified;
+    # silk-only for mono voice at NB/MB/WB rates) -------------------------
+
+    def _use_silk_mode(self, qms: int, bps: int) -> bool:
+        if self.application != Application.VOIP or self.channels != 1:
+            return False
+        if qms not in (40, 80, 160, 240):   # 10/20/40/60 ms
+            return False
+        if bps <= 0:
+            bps = self._auto_bitrate()
+        # mode_thresholds (opus_encoder.c:174-178): voice stays in SILK
+        # up to ~32 kb/s mono
+        if bps >= 32000 or self._signal == Signal.MUSIC:
+            return False
+        if int(self._effective_bw) > int(Bandwidth.WIDEBAND) and \
+                self._bandwidth != Bandwidth.AUTO:
+            return False
+        return True
+
+    def _silk_internal_rate(self, bps: int) -> int:
+        """Bandwidth selection (opus_encoder.c:145-168 thresholds,
+        simplified to the coarse table)."""
+        bw = self._effective_bw
+        if self._bandwidth == Bandwidth.AUTO:
+            if bps < 10000:
+                bw = Bandwidth.NARROWBAND
+            elif bps < 14000:
+                bw = Bandwidth.MEDIUMBAND
+            else:
+                bw = Bandwidth.WIDEBAND
+        bw = Bandwidth(min(int(bw), int(Bandwidth.WIDEBAND)))
+        return {Bandwidth.NARROWBAND: 8000,
+                Bandwidth.MEDIUMBAND: 12000}.get(bw, 16000), bw
+
+    def _encode_silk(self, frames: np.ndarray, qms: int, bps: int,
+                     max_bytes: int) -> bytes:
+        from .silk.encoder import EncControl, SilkEncoder
+        if not hasattr(self, "_silk") or self._silk is None:
+            self._silk = SilkEncoder()
+        if bps <= 0:
+            bps = self._auto_bitrate()
+        internal_hz, bw = self._silk_internal_rate(bps)
+        frame_ms = qms // 4
+        ctl = EncControl(
+            API_sampleRate=self.sample_rate, payloadSize_ms=frame_ms,
+            bitRate=min(bps, 40000),
+            packetLossPercentage=self._packet_loss_perc,
+            complexity=self._complexity,
+            useInBandFEC=self._inband_fec,
+            LBRR_coded=self._inband_fec and self._packet_loss_perc > 0,
+            useDTX=self._dtx, useCBR=not self._vbr,
+            desiredInternalSampleRate=internal_hz,
+            maxBits=min(max_bytes - 1, MAX_FRAME_BYTES) * 8)
+        enc = RangeEncoder(min(max_bytes - 1, MAX_FRAME_BYTES))
+        pcm = np.clip(frames[0] * 32768.0, -32768, 32767)
+        bits = self._silk.encode(ctl, pcm, enc, max_bytes - 1)
+        framerate = 4000 // qms      # 100/50/25/16 for 10-60 ms
+        toc = pkt.gen_toc(CodecMode.SILK_ONLY, framerate, bw, 1)
+        self._in_dtx = bits == 0
+        if bits == 0:
+            self.final_range = 0
+            return bytes([toc])    # DTX: TOC-only packet
+        enc.done()
+        self.final_range = enc.rng & 0xFFFFFFFF
+        nbytes = (enc.tell() + 7) // 8
+        out = bytes([toc]) + enc.data()[:nbytes]
         if len(out) > max_bytes:
             raise OpusError.buffer_too_small()
         return out

@@ -117,3 +117,131 @@ def test_gains_id():
     assert ee.gains_id([1, 2, 3, 4], 4) == (((1 << 8 | 2) << 8 | 3)
                                             << 8 | 4)
     assert ee.gains_id([5], 1) == 5
+
+
+# ----------------------------------------------------------------------
+# Stage 2: full encoder — analysis + quantisation + NSQ
+
+def _speech48(seconds=0.8, seed=3):
+    fs = 48000
+    t = np.arange(int(seconds * fs))
+    f0 = 120 + 30 * np.sin(2 * np.pi * 2.5 * t / fs)
+    phase = np.cumsum(2 * np.pi * f0 / fs)
+    sig = 0.4 * np.sin(phase) + 0.2 * np.sin(2 * phase) \
+        + 0.1 * np.sin(3 * phase)
+    sig *= 0.5 + 0.5 * np.sin(2 * np.pi * 4 * t / fs) ** 2
+    sig += 0.02 * np.random.default_rng(seed).standard_normal(len(t))
+    return np.clip(sig * 20000, -32767, 32767)
+
+
+@pytest.mark.parametrize("bw,internal,bitrate", [
+    ("WB", 16000, 24000), ("MB", 12000, 16000), ("NB", 8000, 13000)])
+def test_silk_encode_reference_decodes(tmp_path, bw, internal, bitrate):
+    """Our SILK encoder's packets: (a) decode bit-exactly the same in
+    our decoder and libopus (final_range protocol), (b) reconstruct the
+    input with reasonable fidelity."""
+    from opus_codec_tpu.silk.encoder import EncControl, SilkEncoder
+    from opus_codec_tpu.bitstream import packet as pk
+    from opus_codec_tpu.types import Bandwidth, CodecMode
+
+    sw = _speech48()
+    enc = SilkEncoder()
+    ctl = EncControl(API_sampleRate=48000, payloadSize_ms=20,
+                     bitRate=bitrate, complexity=9,
+                     desiredInternalSampleRate=internal)
+    bwe = {"NB": Bandwidth.NARROWBAND, "MB": Bandwidth.MEDIUMBAND,
+           "WB": Bandwidth.WIDEBAND}[bw]
+    toc = pk.gen_toc(CodecMode.SILK_ONLY, 50, bwe, 1)
+    bit = bytearray()
+    pkts = []
+    for i in range(len(sw) // 960):
+        re = RangeEncoder(1275)
+        enc.encode(ctl, sw[i * 960:(i + 1) * 960], re, 1275)
+        re.done()
+        nb = (re.tell() + 7) // 8
+        p = bytes([toc]) + re.data()[:nb]
+        pkts.append((p, re.rng & 0xFFFFFFFF))
+        bit += struct.pack(">II", len(p), re.rng & 0xFFFFFFFF) + p
+    bitf = str(tmp_path / "our.bit")
+    outf = str(tmp_path / "out.sw")
+    open(bitf, "wb").write(bytes(bit))
+    subprocess.run([DEMO, "-d", "48000", "1", bitf, outf], check=True,
+                   capture_output=True)
+    refout = np.fromfile(outf, dtype="<i2").astype(np.float64)
+
+    dec = OpusDecoder(48000, 1)
+    ours = []
+    for p, er in pkts:
+        pcm = dec.decode_float(p, 960)
+        ours.append(pcm)
+        assert dec.get_final_range() == er
+    mine = np.concatenate(ours).ravel() * 32768
+    n = min(len(mine), len(refout))
+    assert int(np.abs(np.round(mine[:n]) - refout[:n]).max()) == 0, \
+        "our decode != reference decode"
+    # delay-aligned quality gate
+    best = -99.0
+    for lag in range(0, 1200, 7):
+        a = sw[:n - lag]
+        b = mine[lag:n]
+        m = min(len(a), len(b))
+        e = b[:m] - a[:m]
+        s = 10 * np.log10(max(np.dot(a[:m], a[:m]), 1e-9)
+                          / max(np.dot(e, e), 1e-9))
+        best = max(best, s)
+    assert best > 8.0, f"{bw}: aligned SNR {best:.1f} dB too low"
+
+
+def test_silk_encode_frame_sizes(tmp_path):
+    """10/40/60 ms payloads produce valid packets the reference
+    decoder accepts (multi-frame SILK with LBRR-flag headers)."""
+    from opus_codec_tpu.silk.encoder import EncControl, SilkEncoder
+    from opus_codec_tpu.bitstream import packet as pk
+    from opus_codec_tpu.types import Bandwidth, CodecMode
+    sw = _speech48(0.96)
+    for ms, framerate in ((10, 100), (40, 25), (60, 16)):
+        enc = SilkEncoder()
+        ctl = EncControl(API_sampleRate=48000, payloadSize_ms=ms,
+                         bitRate=20000, complexity=9,
+                         desiredInternalSampleRate=16000)
+        toc = pk.gen_toc(CodecMode.SILK_ONLY, framerate,
+                         Bandwidth.WIDEBAND, 1)
+        spf = 48 * ms
+        bit = bytearray()
+        for i in range(len(sw) // spf):
+            re = RangeEncoder(1275)
+            enc.encode(ctl, sw[i * spf:(i + 1) * spf], re, 1275)
+            re.done()
+            nb = (re.tell() + 7) // 8
+            p = bytes([toc]) + re.data()[:nb]
+            bit += struct.pack(">II", len(p), re.rng & 0xFFFFFFFF) + p
+        bitf = str(tmp_path / f"our{ms}.bit")
+        outf = str(tmp_path / f"out{ms}.sw")
+        open(bitf, "wb").write(bytes(bit))
+        r = subprocess.run([DEMO, "-d", "48000", "1", bitf, outf],
+                           capture_output=True)
+        assert r.returncode == 0, f"{ms}ms: reference decoder rejected"
+        out = np.fromfile(outf, dtype="<i2")
+        assert np.abs(out.astype(np.int64)).mean() > 500, \
+            f"{ms}ms: output implausibly quiet"
+
+
+def test_opus_api_silk_mode():
+    """Encoder selects SILK for mono VOIP at voice rates; DTX emits
+    TOC-only packets; final_range agrees with the decoder."""
+    from opus_codec_tpu import Decoder, Encoder
+    from opus_codec_tpu.types import Application, Bitrate
+    enc = Encoder(48000, 1, Application.VOIP)
+    enc.set_bitrate(Bitrate(24000))
+    dec = Decoder(48000, 1)
+    sw = _speech48(0.4) / 32768.0
+    for i in range(len(sw) // 960):
+        p = enc.encode_float(sw[i * 960:(i + 1) * 960].astype(np.float32))
+        assert (p[0] >> 7) == 0, "expected SILK-mode TOC"
+        y = dec.decode_float(p, 960)
+        assert y.shape == (960, 1)
+        assert enc.get_final_range() == dec.get_final_range()
+    # music/audio app still uses CELT
+    enc2 = Encoder(48000, 1, Application.AUDIO)
+    p2 = enc2.encode_float(sw[:960].astype(np.float32))
+    assert (p2[0] >> 7) == 1
