@@ -172,14 +172,31 @@ class Encoder:
             return False
         if bps <= 0:
             bps = self._auto_bitrate()
-        # mode_thresholds (opus_encoder.c:174-178): voice stays in SILK
-        # up to ~32 kb/s mono
-        if bps >= 32000 or self._signal == Signal.MUSIC:
+        # mode_thresholds (opus_encoder.c:174-178): voice stays in
+        # SILK/hybrid up to ~64 kb/s mono
+        if bps >= 64000 or self._signal == Signal.MUSIC:
+            return False
+        if self._use_hybrid(qms, bps):
+            return True
+        if bps >= 32000:
             return False
         if int(self._effective_bw) > int(Bandwidth.WIDEBAND) and \
                 self._bandwidth != Bandwidth.AUTO:
             return False
         return True
+
+    def _use_hybrid(self, qms: int, bps: int) -> bool:
+        """Hybrid (SILK WB + CELT >=band 17) for SWB/FB voice at 10/20ms
+        (opus_encoder.c bandwidth thresholds, coarse)."""
+        if qms not in (40, 80):
+            return False
+        if self.sample_rate < 24000:
+            return False
+        if self._bandwidth != Bandwidth.AUTO:
+            if int(self._effective_bw) < int(Bandwidth.SUPERWIDEBAND):
+                return False
+            return bps >= 18000
+        return 20000 <= bps < 64000
 
     def _silk_internal_rate(self, bps: int) -> int:
         """Bandwidth selection (opus_encoder.c:145-168 thresholds,
@@ -196,6 +213,101 @@ class Encoder:
         return {Bandwidth.NARROWBAND: 8000,
                 Bandwidth.MEDIUMBAND: 12000}.get(bw, 16000), bw
 
+    @staticmethod
+    def _silk_rate_for_hybrid(rate: int, bw: Bandwidth, frame20ms: bool,
+                              vbr: bool, fec: bool) -> int:
+        """compute_silk_rate_for_hybrid (opus_encoder.c:844-897), mono."""
+        table = ((0, 0, 0, 0, 0),
+                 (12000, 10000, 10000, 11000, 11000),
+                 (16000, 13500, 13500, 15000, 15000),
+                 (20000, 16000, 16000, 18000, 18000),
+                 (24000, 18000, 18000, 21000, 21000),
+                 (32000, 22000, 22000, 28000, 28000),
+                 (64000, 38000, 38000, 50000, 50000))
+        entry = 1 + int(frame20ms) + 2 * int(fec)
+        N = len(table)
+        for i in range(1, N):
+            if table[i][0] > rate:
+                break
+        else:
+            i = N
+        if i == N:
+            silk_rate = table[N - 1][entry] + (rate - table[N - 1][0]) // 2
+        else:
+            lo, hi = table[i - 1][entry], table[i][entry]
+            x0, x1 = table[i - 1][0], table[i][0]
+            silk_rate = (lo * (x1 - rate) + hi * (rate - x0)) // (x1 - x0)
+        if not vbr:
+            silk_rate += 100
+        if bw == Bandwidth.SUPERWIDEBAND:
+            silk_rate += 300
+        return silk_rate
+
+    def _encode_hybrid(self, frames: np.ndarray, qms: int, bps: int,
+                       max_bytes: int) -> bytes:
+        """Hybrid frame: SILK (WB, 16 kHz internal) + CELT bands 17+
+        sharing one range coder (opus_encoder.c:1878-2300)."""
+        from .silk.encoder import EncControl, SilkEncoder
+        if not hasattr(self, "_silk") or self._silk is None:
+            self._silk = SilkEncoder()
+        n = frames.shape[1]
+        frame_ms = qms // 4
+        bw = self._effective_bw if self._bandwidth != Bandwidth.AUTO \
+            else (Bandwidth.FULLBAND if bps >= 30000
+                  else Bandwidth.SUPERWIDEBAND)
+        bw = Bandwidth(max(int(bw), int(Bandwidth.SUPERWIDEBAND)))
+        fec = self._inband_fec and self._packet_loss_perc > 0
+        silk_rate = self._silk_rate_for_hybrid(bps, bw, frame_ms == 20,
+                                               self._vbr, fec)
+        nbytes = min(max_bytes - 1, MAX_FRAME_BYTES)
+        max_bits = nbytes * 8
+        if self._vbr:
+            max_silk_rate = self._silk_rate_for_hybrid(
+                max_bits * 1000 // frame_ms, bw, frame_ms == 20,
+                self._vbr, fec)
+            silk_max_bits = max_silk_rate * frame_ms // 1000
+        else:
+            other = max(0, max_bits - silk_rate * frame_ms // 1000)
+            silk_max_bits = max(0, max_bits - other * 3 // 4)
+        ctl = EncControl(
+            API_sampleRate=self.sample_rate, payloadSize_ms=frame_ms,
+            bitRate=silk_rate,
+            packetLossPercentage=self._packet_loss_perc,
+            complexity=self._complexity, useInBandFEC=self._inband_fec,
+            LBRR_coded=fec, useDTX=False, useCBR=False,
+            desiredInternalSampleRate=16000, maxBits=silk_max_bits)
+        enc = RangeEncoder(nbytes)
+        pcm = np.clip(frames[0] * 32768.0, -32768, 32767) \
+            if self.channels == 1 else np.clip(
+                frames.mean(axis=0) * 32768.0, -32768, 32767)
+        self._silk.encode(ctl, pcm, enc, nbytes)
+        # redundancy flag (opus_encoder.c:2168-2173): none in round 1
+        if enc.tell() + 17 + 20 <= max_bits:
+            enc.enc_bit_logp(0, 12)
+        # CELT half: bands 17+ (opus_encoder.c:2253-2264)
+        celt = self.celt
+        old = (celt.start, celt.end, celt.vbr, celt.constrained_vbr,
+               celt.bitrate)
+        try:
+            celt.start = 17
+            celt.end = 21 if bw == Bandwidth.FULLBAND else 19
+            celt.vbr = self._vbr
+            celt.constrained_vbr = False
+            celt.bitrate = max(bps - silk_rate, 4000)
+            celt.encode_with_ec(frames, n, nbytes, enc=enc)
+        finally:
+            (celt.start, celt.end, celt.vbr, celt.constrained_vbr,
+             celt.bitrate) = old
+        self.final_range = enc.rng & 0xFFFFFFFF
+        framerate = 4000 // qms
+        toc = pkt.gen_toc(CodecMode.HYBRID, framerate, bw, self.channels)
+        out_bytes = (enc.tell() + 7) // 8
+        out = bytes([toc]) + enc.data()[:out_bytes]
+        if len(out) > max_bytes:
+            raise OpusError.buffer_too_small()
+        self._in_dtx = False
+        return out
+
     def _encode_silk(self, frames: np.ndarray, qms: int, bps: int,
                      max_bytes: int) -> bytes:
         from .silk.encoder import EncControl, SilkEncoder
@@ -203,6 +315,8 @@ class Encoder:
             self._silk = SilkEncoder()
         if bps <= 0:
             bps = self._auto_bitrate()
+        if self._use_hybrid(qms, bps):
+            return self._encode_hybrid(frames, qms, bps, max_bytes)
         internal_hz, bw = self._silk_internal_rate(bps)
         frame_ms = qms // 4
         ctl = EncControl(

@@ -245,3 +245,35 @@ def test_opus_api_silk_mode():
     enc2 = Encoder(48000, 1, Application.AUDIO)
     p2 = enc2.encode_float(sw[:960].astype(np.float32))
     assert (p2[0] >> 7) == 1
+
+
+def test_opus_api_hybrid_mode(tmp_path):
+    """32 kb/s mono VOIP at 48 kHz -> hybrid packets (SILK WB + CELT
+    bands 17+) that libopus decodes."""
+    from opus_codec_tpu import Decoder, Encoder
+    from opus_codec_tpu.types import Application, Bitrate
+    fs = 48000
+    t = np.arange(fs // 2)
+    f0 = 120 + 30 * np.sin(2 * np.pi * 2.5 * t / fs)
+    phase = np.cumsum(2 * np.pi * f0 / fs)
+    sig = (0.3 * np.sin(phase) + 0.1 * np.sin(5 * phase)
+           + 0.05 * np.sin(2 * np.pi * 9000 * t / fs)).astype(np.float32)
+    enc = Encoder(48000, 1, Application.VOIP)
+    enc.set_bitrate(Bitrate(32000))
+    dec = Decoder(48000, 1)
+    bit = bytearray()
+    for i in range(len(sig) // 960):
+        p = enc.encode_float(sig[i * 960:(i + 1) * 960])
+        assert (p[0] >> 5) == 0b011 or (p[0] >> 4) in (0b0110, 0b0111), \
+            f"not hybrid TOC: {p[0]:#x}"
+        y = dec.decode_float(p, 960)
+        assert enc.get_final_range() == dec.get_final_range()
+        bit += struct.pack(">II", len(p), enc.get_final_range()) + p
+    bitf = str(tmp_path / "hyb.bit")
+    outf = str(tmp_path / "hyb.sw")
+    open(bitf, "wb").write(bytes(bit))
+    r = subprocess.run([DEMO, "-d", "48000", "1", bitf, outf],
+                       capture_output=True)
+    assert r.returncode == 0
+    out = np.fromfile(outf, dtype="<i2")
+    assert np.abs(out.astype(np.int64)).mean() > 500
