@@ -166,19 +166,19 @@ class Encoder:
     # silk-only for mono voice at NB/MB/WB rates) -------------------------
 
     def _use_silk_mode(self, qms: int, bps: int) -> bool:
-        if self.application != Application.VOIP or self.channels != 1:
+        if self.application != Application.VOIP:
             return False
         if qms not in (40, 80, 160, 240):   # 10/20/40/60 ms
             return False
         if bps <= 0:
             bps = self._auto_bitrate()
         # mode_thresholds (opus_encoder.c:174-178): voice stays in
-        # SILK/hybrid up to ~64 kb/s mono
-        if bps >= 64000 or self._signal == Signal.MUSIC:
+        # SILK/hybrid up to ~64 kb/s mono / ~96 kb/s stereo
+        if bps >= 64000 * self.channels or self._signal == Signal.MUSIC:
             return False
-        if self._use_hybrid(qms, bps):
+        if self.channels == 1 and self._use_hybrid(qms, bps):
             return True
-        if bps >= 32000:
+        if bps >= 32000 * self.channels:
             return False
         if int(self._effective_bw) > int(Bandwidth.WIDEBAND) and \
                 self._bandwidth != Bandwidth.AUTO:
@@ -315,7 +315,7 @@ class Encoder:
             self._silk = SilkEncoder()
         if bps <= 0:
             bps = self._auto_bitrate()
-        if self._use_hybrid(qms, bps):
+        if self.channels == 1 and self._use_hybrid(qms, bps):
             return self._encode_hybrid(frames, qms, bps, max_bytes)
         internal_hz, bw = self._silk_internal_rate(bps)
         frame_ms = qms // 4
@@ -330,10 +330,15 @@ class Encoder:
             desiredInternalSampleRate=internal_hz,
             maxBits=min(max_bytes - 1, MAX_FRAME_BYTES) * 8)
         enc = RangeEncoder(min(max_bytes - 1, MAX_FRAME_BYTES))
-        pcm = np.clip(frames[0] * 32768.0, -32768, 32767)
-        bits = self._silk.encode(ctl, pcm, enc, max_bytes - 1)
+        if self.channels == 2:
+            pcm = np.clip(frames.T * 32768.0, -32768, 32767)
+        else:
+            pcm = np.clip(frames[0] * 32768.0, -32768, 32767)
+        bits = self._silk.encode(ctl, pcm, enc, max_bytes - 1,
+                                 n_channels=self.channels)
         framerate = 4000 // qms      # 100/50/25/16 for 10-60 ms
-        toc = pkt.gen_toc(CodecMode.SILK_ONLY, framerate, bw, 1)
+        toc = pkt.gen_toc(CodecMode.SILK_ONLY, framerate, bw,
+                          self.channels)
         self._in_dtx = bits == 0
         if bits == 0:
             self.final_range = 0

@@ -794,28 +794,25 @@ class SilkEncoderChannel:
 
 
 class SilkEncoder:
-    """silk_encoder + silk_Encode (enc_API.c:142-566), mono."""
+    """silk_encoder + silk_Encode (enc_API.c:142-566), mono or stereo
+    (adaptive mid/side with predictor coding)."""
 
     def __init__(self):
-        self.ch = SilkEncoderChannel()
-        self.ch.VAD_flags = [0] * 3
+        self.ch = SilkEncoderChannel()          # mid / mono
+        self.ch2 = SilkEncoderChannel()         # side
+        for c in (self.ch, self.ch2):
+            c.VAD_flags = [0] * 3
+        self.sStereo = None
         self.nBitsUsedLBRR = 0
         self.nBitsExceeded = 0
+        self.prev_decode_only_middle = 0
 
-    def encode(self, ctl: EncControl, samples_in: np.ndarray,
-               enc: RangeEncoder, max_bytes: int,
-               activity: int = VAD_NO_DECISION) -> int:
-        """Encode one packet worth of input (payloadSize_ms of audio at
-        API rate) into ``enc``.  Returns bits used (0 => DTX)."""
-        ch = self.ch
-        ch.nFramesEncoded = 0
-        # control
+    def _control(self, ch, ctl: EncControl, fs_khz: int):
         ch.useDTX = int(ctl.useDTX)
         ch.useCBR = int(ctl.useCBR)
         ch.useInBandFEC = int(ctl.useInBandFEC)
         ch.API_fs_Hz = ctl.API_sampleRate
         ch.PacketLoss_perc = ctl.packetLossPercentage
-        fs_khz = ctl.desiredInternalSampleRate // 1000
         if ch.fs_kHz != fs_khz or ch.PacketSize_ms != ctl.payloadSize_ms:
             ch.setup_fs(fs_khz, ctl.payloadSize_ms)
             ch.resampler = None
@@ -823,66 +820,97 @@ class SilkEncoder:
         ch.setup_LBRR(ctl.LBRR_coded)
         if ch.first_frame_after_reset:
             ch.LBRR_flags = [0] * 3
-        ch.VAD_flags = getattr(ch, "VAD_flags", [0] * 3) or [0] * 3
         ch.inDTX = ch.useDTX
-
         if ch.resampler is None and ch.API_fs_Hz != ch.fs_kHz * 1000:
             ch.resampler = Resampler(ch.API_fs_Hz, ch.fs_kHz * 1000,
                                      for_enc=True)
 
+    def _encode_header_and_lbrr(self, enc: RangeEncoder, n_channels: int):
+        """enc_API.c:306-360: header space + LBRR flags/data."""
+        chans = [self.ch, self.ch2][:n_channels]
+        nfp = self.ch.nFramesPerPacket
+        icdf0 = 256 - (256 >> ((nfp + 1) * n_channels))
+        enc.enc_icdf(0, (icdf0, 0), 8)
+        bits0 = enc.tell()
+        for ch in chans:
+            lbrr_symbol = 0
+            for i in range(nfp):
+                lbrr_symbol |= ch.LBRR_flags[i] << i
+            ch.LBRR_flag = 1 if lbrr_symbol > 0 else 0
+            if lbrr_symbol and nfp > 1:
+                tab = (T.LBRR_flags_2_iCDF if nfp == 2
+                       else T.LBRR_flags_3_iCDF)
+                enc.enc_icdf(lbrr_symbol - 1, tab, 8)
+        for i in range(nfp):
+            for n, ch in enumerate(chans):
+                if ch.LBRR_flags[i]:
+                    if n_channels == 2 and n == 0:
+                        from .encoder_stereo import StereoEncState
+                        ee.stereo_encode_pred(enc, self.sStereo.predIx[i])
+                        if self.ch2.LBRR_flags[i] == 0:
+                            ee.stereo_encode_mid_only(
+                                enc, self.sStereo.mid_only_flags[i])
+                    cond = (CODE_CONDITIONALLY
+                            if i > 0 and ch.LBRR_flags[i - 1]
+                            else CODE_INDEPENDENTLY)
+                    ch.ec_prevLagIndex = ee.encode_indices(
+                        enc, ch.indices_LBRR[i], ch.psNLSF_CB,
+                        ch.nb_subfr, ch.fs_kHz, cond,
+                        ch.ec_prevSignalType, ch.ec_prevLagIndex)
+                    ch.ec_prevSignalType = ch.indices_LBRR[i].signalType
+                    ee.encode_pulses(enc, ch.indices_LBRR[i].signalType,
+                                     ch.indices_LBRR[i].quantOffsetType,
+                                     ch.pulses_LBRR[i], ch.frame_length)
+        for ch in chans:
+            ch.LBRR_flags = [0] * 3
+        self.nBitsUsedLBRR = enc.tell() - bits0
+
+    def encode(self, ctl: EncControl, samples_in: np.ndarray,
+               enc: RangeEncoder, max_bytes: int,
+               activity: int = VAD_NO_DECISION,
+               n_channels: int = 1, to_mono: bool = False) -> int:
+        """Encode one packet worth of input into ``enc``.
+
+        ``samples_in``: [N] mono or interleaved [2*N] / [N,2] stereo at
+        the API rate.  Returns bits used (0 => DTX)."""
+        from .encoder_stereo import StereoEncState, stereo_lr_to_ms
+        chans = [self.ch, self.ch2][:n_channels]
+        if n_channels == 2 and self.sStereo is None:
+            self.sStereo = StereoEncState()
+        for ch in chans:
+            ch.nFramesEncoded = 0
+        fs_khz = ctl.desiredInternalSampleRate // 1000
+        self._control(self.ch, ctl, fs_khz)
+        if n_channels == 2:
+            self._control(self.ch2, ctl, self.ch.fs_kHz)
+
         samples_in = np.asarray(samples_in)
-        n_frames = ch.nFramesPerPacket
-        samples_per_frame_api = ch.frame_length * ch.API_fs_Hz \
-            // (ch.fs_kHz * 1000)
+        if n_channels == 2:
+            if samples_in.ndim == 1:
+                samples_in = samples_in.reshape(-1, 2)
+        ch0 = self.ch
+        n_frames = ch0.nFramesPerPacket
+        spf_api = ch0.frame_length * ch0.API_fs_Hz // (ch0.fs_kHz * 1000)
         nbits_total_start = enc.tell()
 
         for fi in range(n_frames):
-            seg = samples_in[fi * samples_per_frame_api:
-                             (fi + 1) * samples_per_frame_api]
-            if ch.resampler is not None:
-                frame = ch.resampler.process(
-                    np.clip(np.round(seg), -32768, 32767).astype(np.int64))
+            if n_channels == 2:
+                segL = samples_in[fi * spf_api:(fi + 1) * spf_api, 0]
+                segR = samples_in[fi * spf_api:(fi + 1) * spf_api, 1]
+                fL = self._resample(self.ch, segL)
+                fR = self._resample(self.ch2, segR, which=2)
             else:
-                frame = np.round(seg).astype(np.int64)
-            ch.inputBuf[1:1 + ch.frame_length] = frame[:ch.frame_length]
+                seg = samples_in[fi * spf_api:(fi + 1) * spf_api]
+                frame = self._resample(ch0, seg)
+                ch0.inputBuf[1:1 + ch0.frame_length] =                     frame[:ch0.frame_length]
 
             if fi == 0:
-                # header space + LBRR data (enc_API.c:306-360)
-                icdf0 = 256 - (256 >> (ch.nFramesPerPacket + 1))
-                enc.enc_icdf(0, (icdf0, 0), 8)
-                bits_lbrr0 = enc.tell()
-                lbrr_symbol = 0
-                for i in range(ch.nFramesPerPacket):
-                    lbrr_symbol |= ch.LBRR_flags[i] << i
-                ch.LBRR_flag = 1 if lbrr_symbol > 0 else 0
-                if lbrr_symbol and ch.nFramesPerPacket > 1:
-                    tab = (T.LBRR_flags_2_iCDF if ch.nFramesPerPacket == 2
-                           else T.LBRR_flags_3_iCDF)
-                    enc.enc_icdf(lbrr_symbol - 1, tab, 8)
-                for i in range(ch.nFramesPerPacket):
-                    if ch.LBRR_flags[i]:
-                        cond = (CODE_CONDITIONALLY
-                                if i > 0 and ch.LBRR_flags[i - 1]
-                                else CODE_INDEPENDENTLY)
-                        ch.ec_prevLagIndex = ee.encode_indices(
-                            enc, ch.indices_LBRR[i], ch.psNLSF_CB,
-                            ch.nb_subfr, ch.fs_kHz, cond,
-                            ch.ec_prevSignalType, ch.ec_prevLagIndex)
-                        ch.ec_prevSignalType = \
-                            ch.indices_LBRR[i].signalType
-                        ee.encode_pulses(enc,
-                                         ch.indices_LBRR[i].signalType,
-                                         ch.indices_LBRR[i].
-                                         quantOffsetType,
-                                         ch.pulses_LBRR[i],
-                                         ch.frame_length)
-                ch.LBRR_flags = [0] * 3
-                self.nBitsUsedLBRR = enc.tell() - bits_lbrr0
+                self._encode_header_and_lbrr(enc, n_channels)
 
             # target rate (enc_API.c:365-392)
             nbits = ctl.bitRate * ctl.payloadSize_ms // 1000
             nbits -= self.nBitsUsedLBRR
-            nbits //= ch.nFramesPerPacket
+            nbits //= n_frames
             target_rate = nbits * (100 if ctl.payloadSize_ms == 10
                                    else 50)
             target_rate -= (self.nBitsExceeded * 1000) // 500
@@ -891,31 +919,91 @@ class SilkEncoder:
                     - nbits * fi
                 target_rate -= (bits_balance * 1000) // 500
             target_rate = min(max(target_rate, 5000), ctl.bitRate)
-            ch.control_SNR(target_rate)
-            ch.do_vad(activity)
-            cond = (CODE_INDEPENDENTLY if ch.nFramesEncoded == 0
-                    else CODE_CONDITIONALLY)
-            max_bits = ctl.maxBits
-            if n_frames == 3:
-                if fi == 0:
-                    max_bits = max_bits * 2 // 5
-                elif fi == 1:
-                    max_bits = max_bits * 3 // 4
-            use_cbr = ctl.useCBR and fi == n_frames - 1
-            ch.encode_frame(enc, cond, max_bits, use_cbr)
-            ch.nFramesEncoded += 1
+
+            if n_channels == 2:
+                mid, side, ix, mid_only, ms_rates = stereo_lr_to_ms(
+                    self.sStereo, fL[:ch0.frame_length],
+                    fR[:ch0.frame_length], target_rate,
+                    ch0.speech_activity_Q8, to_mono, ch0.fs_kHz,
+                    ch0.frame_length)
+                self.sStereo.predIx[fi] = ix
+                self.sStereo.mid_only_flags[fi] = mid_only
+                # mid channel input: 1-sample-delayed mid incl. history
+                ch0.inputBuf[0:ch0.frame_length + 2] = \
+                    mid[:ch0.frame_length + 2]
+                self.ch2.inputBuf[1:1 + ch0.frame_length] = \
+                    side[:ch0.frame_length]
+                if mid_only == 0:
+                    if self.prev_decode_only_middle == 1:
+                        # reset side state (enc_API.c:399-412)
+                        c2 = self.ch2
+                        c2.sNSQ = NsqState()
+                        c2.prev_NLSFq_Q15 = [0] * MAX_LPC_ORDER
+                        c2.prevLag = 100
+                        c2.sNSQ.lagPrev = 100
+                        c2.sShape_LastGainIndex = 10
+                        c2.prevSignalType = TYPE_NO_VOICE_ACTIVITY
+                        c2.sNSQ.prev_gain_Q16 = 65536
+                        c2.first_frame_after_reset = 1
+                        c2.sShape_HarmShapeGain_smth = 0.0
+                        c2.sShape_Tilt_smth = 0.0
+                    self.ch2.do_vad(activity)
+                else:
+                    self.ch2.VAD_flags[fi] = 0
+                ee.stereo_encode_pred(enc, ix)
+                if self.ch2.VAD_flags[fi] == 0:
+                    ee.stereo_encode_mid_only(enc, mid_only)
+
+            ch0.control_SNR(target_rate if n_channels == 1
+                            else max(ms_rates[0], 1))
+            ch0.do_vad(activity)
+            if n_channels == 2:
+                self.ch2.control_SNR(max(ms_rates[1], 1))
+
+            for n, ch in enumerate(chans):
+                rate = target_rate if n_channels == 1 else ms_rates[n]
+                if rate <= 0:
+                    continue
+                max_bits = ctl.maxBits
+                if n_frames == 3:
+                    if fi == 0:
+                        max_bits = max_bits * 2 // 5
+                    elif fi == 1:
+                        max_bits = max_bits * 3 // 4
+                use_cbr = ctl.useCBR and fi == n_frames - 1
+                if n_channels == 2 and n == 0 and ms_rates[1] > 0:
+                    use_cbr = False
+                    max_bits -= ctl.maxBits // (n_frames * 2)
+                if ch.nFramesEncoded - n <= 0:
+                    cond = CODE_INDEPENDENTLY
+                elif n > 0 and self.prev_decode_only_middle:
+                    cond = CODE_INDEPENDENTLY_NO_LTP_SCALING
+                else:
+                    cond = CODE_CONDITIONALLY
+                ch.encode_frame(enc, cond, max_bits, use_cbr)
+                ch.nFramesEncoded += 1
+            if n_channels == 2:
+                self.prev_decode_only_middle = \
+                    self.sStereo.mid_only_flags[fi]
 
         # patch VAD/LBRR header flags (enc_API.c:487-500)
         flags = 0
-        for i in range(ch.nFramesPerPacket):
-            flags = (flags << 1) | int(ch.VAD_flags[i])
-        flags = (flags << 1) | int(ch.LBRR_flag)
-        enc.patch_initial_bits(flags, ch.nFramesPerPacket + 1)
+        for ch in chans:
+            for i in range(n_frames):
+                flags = (flags << 1) | int(ch.VAD_flags[i])
+            flags = (flags << 1) | int(ch.LBRR_flag)
+        enc.patch_initial_bits(flags, (n_frames + 1) * n_channels)
 
-        if ch.inDTX:
+        if all(c.inDTX for c in chans):
             return 0
         nbytes = (enc.tell() + 7) // 8
         self.nBitsExceeded += nbytes * 8
         self.nBitsExceeded -= ctl.bitRate * ctl.payloadSize_ms // 1000
         self.nBitsExceeded = min(max(self.nBitsExceeded, 0), 10000)
         return enc.tell() - nbits_total_start
+
+    def _resample(self, ch, seg, which=1):
+        if ch.resampler is not None:
+            return ch.resampler.process(
+                np.clip(np.round(seg), -32768, 32767).astype(np.int64))
+        return np.round(np.asarray(seg)).astype(np.int64)

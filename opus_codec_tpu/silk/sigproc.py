@@ -116,7 +116,8 @@ def LIMIT(a, lo, hi):
     return lo if a < lo else (hi if a > hi else a)
 
 
-def CLZ32(x: int) -> int:
+def CLZ32(x) -> int:
+    x = int(x)
     x &= _M32
     if x == 0:
         return 32

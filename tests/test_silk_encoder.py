@@ -277,3 +277,49 @@ def test_opus_api_hybrid_mode(tmp_path):
     assert r.returncode == 0
     out = np.fromfile(outf, dtype="<i2")
     assert np.abs(out.astype(np.int64)).mean() > 500
+
+
+def test_silk_stereo_encode(tmp_path):
+    """Stereo SILK (adaptive mid/side): libopus decodes our packets and
+    our decoder reconstructs bit-exactly (final_range protocol)."""
+    from opus_codec_tpu import Decoder, Encoder
+    from opus_codec_tpu.types import Application, Bitrate
+    fs = 48000
+    t = np.arange(fs)
+    f0 = 120 + 30 * np.sin(2 * np.pi * 2.5 * t / fs)
+    phase = np.cumsum(2 * np.pi * f0 / fs)
+    L = (0.35 * np.sin(phase) + 0.15 * np.sin(2 * phase)) \
+        * (0.5 + 0.5 * np.sin(2 * np.pi * 3 * t / fs) ** 2)
+    R = (0.30 * np.sin(phase + 0.3) + 0.12 * np.sin(2 * phase + 0.5)) \
+        * (0.5 + 0.5 * np.sin(2 * np.pi * 3 * t / fs + 0.4) ** 2)
+    sig = np.stack([L, R], 1).astype(np.float32)
+    enc = Encoder(48000, 2, Application.VOIP)
+    enc.set_bitrate(Bitrate(36000))
+    dec = Decoder(48000, 2)
+    bit = bytearray()
+    for i in range(len(t) // 960):
+        p = enc.encode_float(sig[i * 960:(i + 1) * 960].ravel())
+        assert (p[0] >> 7) == 0 and ((p[0] >> 2) & 1) == 1
+        y = dec.decode_float(p, 960)
+        assert y.shape == (960, 2)
+        assert enc.get_final_range() == dec.get_final_range()
+        bit += struct.pack(">II", len(p), enc.get_final_range()) + p
+    bitf = str(tmp_path / "st.bit")
+    outf = str(tmp_path / "st.sw")
+    open(bitf, "wb").write(bytes(bit))
+    r = subprocess.run([DEMO, "-d", "48000", "2", bitf, outf],
+                       capture_output=True)
+    assert r.returncode == 0, "libopus rejected stereo stream"
+    out = np.fromfile(outf, dtype="<i2").reshape(-1, 2).astype(np.float64)
+    x = sig * 32768
+    best = -99.0
+    for lag in range(0, 1200, 7):
+        n = min(len(out), len(x)) - lag
+        a = x[:n].ravel()
+        b = out[lag:lag + n].ravel()
+        m = min(len(a), len(b))
+        e = b[:m] - a[:m]
+        s = 10 * np.log10(max(np.dot(a[:m], a[:m]), 1)
+                          / max(np.dot(e, e), 1))
+        best = max(best, s)
+    assert best > 12.0, f"stereo SNR {best:.1f} dB"
