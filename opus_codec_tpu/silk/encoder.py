@@ -37,7 +37,7 @@ from .encoder_pitch import (FIND_PITCH_BANDWIDTH_EXPANSION,
                             k2a, lpc_analysis_filter, pitch_analysis_core,
                             schur)
 from .nlsf import CB_NB_MB, CB_WB
-from .nsq import NsqState, nsq as run_nsq
+from .nsq import NsqState, nsq as run_nsq, nsq_del_dec
 from .resampler import Resampler
 from .sigproc import LSHIFT_SAT32, SMULBB, SMULWB, lin2log, log2lin
 from .vad import VadState
@@ -572,6 +572,12 @@ class SilkEncoderChannel:
         x16 = np.array([_f2i(v) for v in
                         self.x_buf[x_start:x_start + self.frame_length]],
                        np.int64)
+        # NSQ variant selection (wrappers_FLP.c:138-143)
+        if self.nStatesDelayedDecision > 1 or self.warping_Q16 > 0:
+            return nsq_del_dec(self, nsq_state, indices, x16, Pred_Q12,
+                               LTP_Q14, AR_Q13, Harm_Q14, Tilt_Q14,
+                               LF_shp_Q14, Gains_Q16, ctrl.pitchL,
+                               Lambda_Q10, LTP_scale_Q14)
         return run_nsq(self, nsq_state, indices, x16, Pred_Q12, LTP_Q14,
                        AR_Q13, Harm_Q14, Tilt_Q14, LF_shp_Q14, Gains_Q16,
                        ctrl.pitchL, Lambda_Q10, LTP_scale_Q14)

@@ -323,3 +323,50 @@ def test_silk_stereo_encode(tmp_path):
                           / max(np.dot(e, e), 1))
         best = max(best, s)
     assert best > 12.0, f"stereo SNR {best:.1f} dB"
+
+
+def test_nsq_del_dec_improves_quality(tmp_path):
+    """Delayed-decision NSQ (complexity >= 2) must not degrade vs the
+    basic quantizer and all complexity tiers must produce valid
+    reference-decodable streams."""
+    from opus_codec_tpu.silk.encoder import EncControl, SilkEncoder
+    from opus_codec_tpu.bitstream import packet as pk
+    from opus_codec_tpu.types import Bandwidth, CodecMode
+    sw = _speech48(0.6)
+    toc = pk.gen_toc(CodecMode.SILK_ONLY, 50, Bandwidth.WIDEBAND, 1)
+
+    def run(cx):
+        enc = SilkEncoder()
+        ctl = EncControl(API_sampleRate=48000, payloadSize_ms=20,
+                         bitRate=24000, complexity=cx,
+                         desiredInternalSampleRate=16000)
+        bit = bytearray()
+        for i in range(len(sw) // 960):
+            re = RangeEncoder(1275)
+            enc.encode(ctl, sw[i * 960:(i + 1) * 960], re, 1275)
+            re.done()
+            nb = (re.tell() + 7) // 8
+            p = bytes([toc]) + re.data()[:nb]
+            bit += struct.pack(">II", len(p), re.rng & 0xFFFFFFFF) + p
+        bitf = str(tmp_path / f"cx{cx}.bit")
+        outf = str(tmp_path / f"cx{cx}.sw")
+        open(bitf, "wb").write(bytes(bit))
+        r = subprocess.run([DEMO, "-d", "48000", "1", bitf, outf],
+                           capture_output=True)
+        assert r.returncode == 0, f"complexity {cx} stream rejected"
+        out = np.fromfile(outf, dtype="<i2").astype(np.float64)
+        best = -99.0
+        for lag in range(0, 1200, 7):
+            n = min(len(out), len(sw)) - lag
+            a = sw[:n]
+            b = out[lag:lag + n]
+            e = b - a
+            s = 10 * np.log10(max(np.dot(a, a), 1)
+                              / max(np.dot(e, e), 1))
+            best = max(best, s)
+        return best
+
+    s0 = run(0)
+    s9 = run(9)
+    assert s9 >= s0 - 0.5, f"del-dec ({s9:.1f}) worse than basic ({s0:.1f})"
+    assert s9 > 10.0
