@@ -6,10 +6,10 @@ Parity map:
   Repacketizer <- src/repacketizer.rs (repacketizer.c semantics)
   packet utils <- src/packet.rs    (re-exported from bitstream.packet)
 
-Round-1 scope note: ``Encoder`` produces CELT-mode Opus packets for every
-application (valid, decodable-by-any-Opus streams at reference quality for
-music; SILK/hybrid *encode* modes land with the SILK encoder milestone —
-the decoder side already handles all modes bit-exactly).
+``Encoder`` covers all three modes: CELT-only for music/low-delay,
+SILK-only (mono + stereo, NB/MB/WB, DTX/LBRR) for voice, and hybrid
+(SILK WB + CELT bands 17+) for SWB/FB voice.  The decoder handles all
+modes bit-exactly against libopus.
 """
 
 from __future__ import annotations
@@ -24,6 +24,8 @@ from .celt.encoder import CeltEncoder
 from .constants import MAX_FRAME_BYTES, max_frame_samples_for
 from .errors import ErrorCode, OpusError
 from .opus.decoder import OpusDecoder
+from .opus.hp_filter import dc_reject, hp_cutoff
+from .silk.sigproc import SMLAWB, lin2log, log2lin
 from .types import Application, Bandwidth, Bitrate, CodecMode, Signal
 
 __all__ = ["Encoder", "Decoder", "Repacketizer"]
@@ -67,6 +69,9 @@ class Encoder:
         self._phase_inversion_disabled = False
         self._in_dtx = False
         self.final_range = 0
+        # input HP front-end state (opus_encoder.c:286, 1795-1830)
+        self._hp_mem = np.zeros(4)
+        self._variable_HP_smth2_Q15 = lin2log(60) << 8
         self._apply_settings()
 
     # -- settings plumbing -------------------------------------------------
@@ -124,6 +129,8 @@ class Encoder:
         f20 = self.sample_rate // 50
         bps = self._bitrate_bps()
 
+        frames = self._hp_process(frames,
+                                  celt_only=not self._use_silk_mode(qms, bps))
         if self._use_silk_mode(qms, bps):
             return self._encode_silk(frames, qms, bps, max_bytes)
 
@@ -161,6 +168,23 @@ class Encoder:
         if len(out) > max_bytes:
             raise OpusError.buffer_too_small()
         return out
+
+    def _hp_process(self, frames: np.ndarray, celt_only: bool) -> np.ndarray:
+        """Input HP front-end (opus_encoder.c:1795-1830): variable
+        60-100 Hz high-pass for VOIP, 3 Hz DC rejection otherwise.
+        The cutoff tracks the SILK pitch lag via variable_HP_smth1/2."""
+        if celt_only or not getattr(self, "_silk", None):
+            hp_smth1 = lin2log(60) << 8
+        else:
+            hp_smth1 = self._silk.ch.variable_HP_smth1_Q15
+        self._variable_HP_smth2_Q15 = SMLAWB(
+            self._variable_HP_smth2_Q15,
+            hp_smth1 - self._variable_HP_smth2_Q15, 983)  # 0.015 in Q16
+        cutoff_hz = log2lin(self._variable_HP_smth2_Q15 >> 8)
+        if self.application == Application.VOIP:
+            return hp_cutoff(frames, cutoff_hz, self._hp_mem,
+                             self.sample_rate)
+        return dc_reject(frames, 3, self._hp_mem, self.sample_rate)
 
     # -- SILK mode (opus_encoder.c:1329-1396 mode decision, simplified;
     # silk-only for mono voice at NB/MB/WB rates) -------------------------

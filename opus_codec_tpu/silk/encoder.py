@@ -39,7 +39,8 @@ from .encoder_pitch import (FIND_PITCH_BANDWIDTH_EXPANSION,
 from .nlsf import CB_NB_MB, CB_WB
 from .nsq import NsqState, nsq as run_nsq, nsq_del_dec
 from .resampler import Resampler
-from .sigproc import LSHIFT_SAT32, SMULBB, SMULWB, lin2log, log2lin
+from .sigproc import (LSHIFT_SAT32, SMLAWB, SMULBB, SMULWB, lin2log,
+                      log2lin)
 from .vad import VadState
 from .decoder import gains_dequant
 
@@ -799,6 +800,39 @@ class SilkEncoderChannel:
     VAD_flags = None  # set per packet
 
 
+VARIABLE_HP_MIN_CUTOFF_HZ = 60
+VARIABLE_HP_MAX_CUTOFF_HZ = 100
+
+
+def hp_variable_cutoff(ch: "SilkEncoderChannel") -> None:
+    """Adapt the HP cutoff toward the low end of the pitch range
+    (HP_variable_cutoff.c:39-78).  Updates ``ch.variable_HP_smth1_Q15``
+    from the previous frame's pitch lag, quality and speech activity."""
+    if ch.prevSignalType != TYPE_VOICED:
+        return
+    pitch_freq_hz_q16 = ((ch.fs_kHz * 1000) << 16) // ch.prevLag
+    pitch_freq_log_q7 = lin2log(pitch_freq_hz_q16) - (16 << 7)
+    quality_q15 = int(ch.input_quality_bands_Q15[0])
+    min_log_q7 = lin2log(VARIABLE_HP_MIN_CUTOFF_HZ << 16) - (16 << 7)
+    pitch_freq_log_q7 = SMLAWB(
+        pitch_freq_log_q7, SMULWB((-quality_q15) << 2, quality_q15),
+        pitch_freq_log_q7 - min_log_q7)
+    delta_freq_q7 = pitch_freq_log_q7 - (ch.variable_HP_smth1_Q15 >> 8)
+    if delta_freq_q7 < 0:
+        # track close to the minimum when pitch frequency decreases
+        delta_freq_q7 *= 3
+    lim = FIX_CONST(0.4, 7)
+    delta_freq_q7 = min(max(delta_freq_q7, -lim), lim)
+    ch.variable_HP_smth1_Q15 = SMLAWB(
+        ch.variable_HP_smth1_Q15,
+        SMULBB(ch.speech_activity_Q8, delta_freq_q7),
+        FIX_CONST(0.1, 16))
+    ch.variable_HP_smth1_Q15 = min(
+        max(ch.variable_HP_smth1_Q15,
+            lin2log(VARIABLE_HP_MIN_CUTOFF_HZ) << 8),
+        lin2log(VARIABLE_HP_MAX_CUTOFF_HZ) << 8)
+
+
 class SilkEncoder:
     """silk_encoder + silk_Encode (enc_API.c:142-566), mono or stereo
     (adaptive mid/side with predictor coding)."""
@@ -900,6 +934,7 @@ class SilkEncoder:
         nbits_total_start = enc.tell()
 
         for fi in range(n_frames):
+            hp_variable_cutoff(ch0)    # enc_API.c:398
             if n_channels == 2:
                 segL = samples_in[fi * spf_api:(fi + 1) * spf_api, 0]
                 segR = samples_in[fi * spf_api:(fi + 1) * spf_api, 1]

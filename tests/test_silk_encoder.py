@@ -286,7 +286,8 @@ def test_silk_stereo_encode(tmp_path):
     from opus_codec_tpu.types import Application, Bitrate
     fs = 48000
     t = np.arange(fs)
-    f0 = 120 + 30 * np.sin(2 * np.pi * 2.5 * t / fs)
+    # f0 well above the 60-100 Hz adaptive HP front-end
+    f0 = 220 + 30 * np.sin(2 * np.pi * 2.5 * t / fs)
     phase = np.cumsum(2 * np.pi * f0 / fs)
     L = (0.35 * np.sin(phase) + 0.15 * np.sin(2 * phase)) \
         * (0.5 + 0.5 * np.sin(2 * np.pi * 3 * t / fs) ** 2)
