@@ -39,6 +39,20 @@ _MAX_BANDWIDTH = {8000: Bandwidth.NARROWBAND, 12000: Bandwidth.WIDEBAND,
                   16000: Bandwidth.WIDEBAND, 24000: Bandwidth.SUPERWIDEBAND,
                   48000: Bandwidth.FULLBAND}
 
+# SILK/hybrid vs CELT rate thresholds [mono/stereo][voice/music]
+# (opus_encoder.c:174-178)
+_MODE_THRESHOLDS = ((64000, 10000), (44000, 10000))
+_STEREO_VOICE_THRESHOLD = 19000       # opus_encoder.c:170-171
+_STEREO_MUSIC_THRESHOLD = 17000
+# (threshold, hysteresis) pairs NB<->MB, MB<->WB, WB<->SWB, SWB<->FB
+# (opus_encoder.c:145-168; mono == stereo in the reference)
+_BW_THRESH_VOICE = (9000, 700, 9000, 700, 13500, 1000, 14000, 2000)
+_BW_THRESH_MUSIC = (9000, 700, 9000, 700, 11000, 1000, 12000, 2000)
+_DTX_ACTIVITY_THRESHOLD = 0.1         # silk/define.h:58
+_NB_SPEECH_FRAMES_BEFORE_DTX = 10
+_MAX_CONSECUTIVE_DTX = 20
+_PSEUDO_SNR_THRESHOLD = 316.23        # opus_encoder.c:65
+
 
 class Encoder:
     """Opus encoder (encoder.rs:40-707 surface)."""
@@ -72,6 +86,19 @@ class Encoder:
         # input HP front-end state (opus_encoder.c:286, 1795-1830)
         self._hp_mem = np.zeros(4)
         self._variable_HP_smth2_Q15 = lin2log(60) << 8
+        # analysis + decision state (opus_encoder.c:100-140)
+        self._tonality = None
+        self._width_state = np.zeros(5)   # XX XY YY smoothed max_follower
+        self._prev_mode = 0
+        self._auto_bandwidth = int(Bandwidth.FULLBAND)
+        self._first = True
+        self._voice_ratio = -1
+        self._detected_bandwidth = 0
+        self._stream_channels = channels
+        self._peak_signal_energy = 0.0
+        self._nb_no_activity_ms_q1 = 0
+        self._silk_dtx_blocked = False
+        self._silk = None
         self._apply_settings()
 
     # -- settings plumbing -------------------------------------------------
@@ -126,47 +153,77 @@ class Encoder:
         if n > max_frame_samples_for(self.sample_rate):
             raise OpusError.bad_arg("frame too long")
         qms = self._frame_ms_x4(n)
-        f20 = self.sample_rate // 50
         bps = self._bitrate_bps()
+        if bps <= 0:   # AUTO / MAX
+            bps = self._auto_bitrate() if self._bitrate == Bitrate.AUTO \
+                else max_bytes * 8 * self.sample_rate // n
 
-        frames = self._hp_process(frames,
-                                  celt_only=not self._use_silk_mode(qms, bps))
-        if self._use_silk_mode(qms, bps):
-            return self._encode_silk(frames, qms, bps, max_bytes)
+        mode, bw, stream_ch, activity, dtx_usable = \
+            self._decide(frames, qms, bps, max_bytes)
+        self._silk_dtx_blocked = dtx_usable   # opus_encoder.c:1324-1328
+        self._stream_channels = stream_ch
+        frames = self._hp_process(
+            frames, celt_only=mode == CodecMode.CELT_ONLY)
 
-        if qms <= 80:  # single CELT frame (2.5..20 ms)
-            framerate = 4000 // qms
-            nbytes = min(max_bytes, MAX_FRAME_BYTES)
-            if not self._vbr:
-                if bps <= 0:
-                    bps = self._auto_bitrate()
-                nbytes = min(nbytes, max(2, bps * n // (8 * self.sample_rate)))
-            frame = self.celt.encode_with_ec(frames, n, nbytes)
-            self.final_range = self.celt.rng
-            toc = pkt.gen_toc(CodecMode.CELT_ONLY, framerate,
-                              self._effective_bw, self.channels)
-            out = bytes([toc]) + frame
-        else:  # multiframe packet of 20 ms CELT frames
-            nb = qms // 80
-            per_budget = max_bytes // nb
-            subs = []
-            rng = 0
-            for i in range(nb):
-                sub = frames[:, i * f20:(i + 1) * f20]
-                nbytes = min(per_budget, MAX_FRAME_BYTES)
-                if not self._vbr:
-                    if bps <= 0:
-                        bps = self._auto_bitrate()
-                    nbytes = min(nbytes, max(
-                        2, bps * f20 // (8 * self.sample_rate)))
-                subs.append(self.celt.encode_with_ec(sub, f20, nbytes))
-                rng ^= self.celt.rng
-            self.final_range = rng
-            toc = pkt.gen_toc(CodecMode.CELT_ONLY, 50, self._effective_bw,
-                              self.channels)
-            out = pkt.build_packet(toc, subs, cbr=not self._vbr)
+        if mode == CodecMode.CELT_ONLY:
+            out = self._encode_celt_mode(frames, qms, bps, max_bytes, bw)
+        elif mode == CodecMode.HYBRID:
+            out = self._encode_hybrid(frames, qms, bps, max_bytes, bw)
+        else:
+            out = self._encode_silk(frames, qms, bps, max_bytes, bw,
+                                    stream_ch)
+        self._prev_mode = int(mode)
+        self._first = False
+
+        # generalized (opus-level) DTX (opus_encoder.c:2363-2379)
+        if self._dtx and dtx_usable and self._dtx_decision(activity, qms):
+            self.final_range = 0
+            self._in_dtx = True
+            return out[:1]     # TOC-only packet
         if len(out) > max_bytes:
             raise OpusError.buffer_too_small()
+        return out
+
+    def _encode_celt_mode(self, frames: np.ndarray, qms: int, bps: int,
+                          max_bytes: int, bw: Bandwidth) -> bytes:
+        """CELT-only packets, single or multi-frame (code 3)."""
+        n = frames.shape[1]
+        f20 = self.sample_rate // 50
+        old_end = self.celt.end
+        self.celt.end = _CELT_END_BAND[int(bw)]
+        try:
+            if qms <= 80:  # single CELT frame (2.5..20 ms)
+                framerate = 4000 // qms
+                nbytes = min(max_bytes, MAX_FRAME_BYTES)
+                if not self._vbr:
+                    nbytes = min(nbytes,
+                                 max(2, bps * n // (8 * self.sample_rate)))
+                frame = self.celt.encode_with_ec(frames, n, nbytes)
+                self.final_range = self.celt.rng
+                toc = pkt.gen_toc(CodecMode.CELT_ONLY, framerate,
+                                  bw, self.channels)
+                out = bytes([toc]) + frame
+            else:  # multiframe packet of 20 ms CELT frames
+                nb = qms // 80
+                per_budget = max_bytes // nb
+                subs = []
+                for i in range(nb):
+                    sub = frames[:, i * f20:(i + 1) * f20]
+                    nbytes = min(per_budget, MAX_FRAME_BYTES)
+                    if not self._vbr:
+                        nbytes = min(nbytes, max(
+                            2, bps * f20 // (8 * self.sample_rate)))
+                    subs.append(self.celt.encode_with_ec(sub, f20, nbytes))
+                # rangeFinal = last frame's rng (opus_encoder.c:2353)
+                self.final_range = self.celt.rng
+                toc = pkt.gen_toc(CodecMode.CELT_ONLY, 50, bw,
+                                  self.channels)
+                out = pkt.build_packet(toc, subs, cbr=not self._vbr)
+        finally:
+            self.celt.end = old_end
+        if len(out) > max_bytes:
+            raise OpusError.buffer_too_small()
+        self._in_dtx = False
         return out
 
     def _hp_process(self, frames: np.ndarray, celt_only: bool) -> np.ndarray:
@@ -182,60 +239,284 @@ class Encoder:
             hp_smth1 - self._variable_HP_smth2_Q15, 983)  # 0.015 in Q16
         cutoff_hz = log2lin(self._variable_HP_smth2_Q15 >> 8)
         if self.application == Application.VOIP:
-            return hp_cutoff(frames, cutoff_hz, self._hp_mem,
-                             self.sample_rate)
-        return dc_reject(frames, 3, self._hp_mem, self.sample_rate)
+            out = hp_cutoff(frames, cutoff_hz, self._hp_mem,
+                            self.sample_rate)
+        else:
+            out = dc_reject(frames, 3, self._hp_mem, self.sample_rate)
+        # NaN guard (opus_encoder.c:1832-1844)
+        if not np.all(np.isfinite(out)):
+            out = np.zeros_like(out)
+            self._hp_mem[:] = 0
+        return out
+
+    # -- mode / bandwidth / channel decision (opus_encoder.c:1057-1553) ---
+
+    @staticmethod
+    def _equiv_rate(bitrate: int, channels: int, frame_rate: int,
+                    vbr: bool, mode: int, complexity: int,
+                    loss: int) -> int:
+        """compute_equiv_rate (opus_encoder.c:898-930)."""
+        equiv = bitrate
+        if frame_rate > 50:
+            equiv -= (40 * channels + 20) * (frame_rate - 50)
+        if not vbr:
+            equiv -= equiv // 12
+        equiv = equiv * (90 + complexity) // 100
+        if mode in (CodecMode.SILK_ONLY, CodecMode.HYBRID):
+            if complexity < 2:
+                equiv = equiv * 4 // 5
+            equiv -= equiv * loss // (6 * loss + 10)
+        elif mode == CodecMode.CELT_ONLY:
+            if complexity < 5:
+                equiv = equiv * 9 // 10
+        else:
+            equiv -= equiv * loss // (12 * loss + 20)
+        return equiv
+
+    def _stereo_width(self, frames: np.ndarray, n: int) -> float:
+        """compute_stereo_width, float build (opus_encoder.c:729-808).
+        State: [XX, XY, YY, smoothed_width, max_follower]."""
+        m = self._width_state
+        frame_rate = self.sample_rate // n
+        short_alpha = 1.0 - 25.0 / max(50, frame_rate)
+        n4 = (n - 3) // 4 * 4 + 4 if n >= 4 else 0
+        x = frames[0, :n4]
+        y = frames[1, :n4]
+        xx, xy, yy = float(x @ x), float(x @ y), float(y @ y)
+        if not (xx < 1e9 and yy < 1e9 and np.isfinite(xx)
+                and np.isfinite(yy)):
+            xx = xy = yy = 0.0
+        m[0] += short_alpha * (xx - m[0])
+        m[1] += short_alpha * (xy - m[1])
+        m[2] += short_alpha * (yy - m[2])
+        m[:3] = np.maximum(0.0, m[:3])
+        if max(m[0], m[2]) > 8e-4:
+            sqrt_xx, sqrt_yy = np.sqrt(m[0]), np.sqrt(m[2])
+            qrrt_xx, qrrt_yy = np.sqrt(sqrt_xx), np.sqrt(sqrt_yy)
+            m[1] = min(m[1], sqrt_xx * sqrt_yy)
+            corr = m[1] / (1e-15 + sqrt_xx * sqrt_yy)
+            ldiff = abs(qrrt_xx - qrrt_yy) / (1e-15 + qrrt_xx + qrrt_yy)
+            width = np.sqrt(max(0.0, 1.0 - corr * corr)) * ldiff
+            m[3] += (width - m[3]) / frame_rate
+            m[4] = max(m[4] - 0.02 / frame_rate, m[3])
+        return min(1.0, 20.0 * m[4])
+
+    def _decide(self, frames: np.ndarray, qms: int, bps: int,
+                max_bytes: int):
+        """Analysis + voice_est + mode/channel/bandwidth decision
+        (opus_encoder.c:1112-1553).  Returns (mode, bandwidth,
+        stream_channels, activity, dtx_usable)."""
+        n = frames.shape[1]
+        frame_rate = self.sample_rate // n
+        lsb_depth = min(self._lsb_depth, 24)
+        is_silence = float(np.abs(frames).max(initial=0.0)) \
+            <= 1.0 / (1 << lsb_depth)
+        info = None
+        if self._complexity >= 7 and self.sample_rate >= 16000:
+            if self._tonality is None:
+                from .opus.analysis import TonalityAnalysisState
+                self._tonality = TonalityAnalysisState(self.sample_rate)
+            info = self._tonality.run(frames, n, n, lsb_depth)
+            if not is_silence and info.activity_probability \
+                    > _DTX_ACTIVITY_THRESHOLD:
+                self._peak_signal_energy = max(
+                    0.999 * self._peak_signal_energy,
+                    float((frames * frames).sum()) / (n * self.channels))
+        elif self._tonality is not None:
+            self._tonality.reset()
+            self._tonality = None
+
+        if not is_silence:
+            self._voice_ratio = -1
+        self._detected_bandwidth = 0
+        if info is not None and info.valid:
+            if self._signal == Signal.AUTO:
+                if self._prev_mode == 0:
+                    prob = info.music_prob
+                elif self._prev_mode == CodecMode.CELT_ONLY:
+                    prob = info.music_prob_max
+                else:
+                    prob = info.music_prob_min
+                self._voice_ratio = int(np.floor(0.5 + 100 * (1 - prob)))
+            ab = info.bandwidth
+            self._detected_bandwidth = int(
+                Bandwidth.NARROWBAND if ab <= 12 else
+                Bandwidth.MEDIUMBAND if ab <= 14 else
+                Bandwidth.WIDEBAND if ab <= 16 else
+                Bandwidth.SUPERWIDEBAND if ab <= 18 else
+                Bandwidth.FULLBAND)
+
+        # voice_est (opus_encoder.c:1276-1289)
+        if self._signal == Signal.VOICE:
+            voice_est = 127
+        elif self._signal == Signal.MUSIC:
+            voice_est = 0
+        elif self._voice_ratio >= 0:
+            voice_est = self._voice_ratio * 327 >> 8
+            if self.application == Application.AUDIO:
+                voice_est = min(voice_est, 115)
+        elif self.application == Application.VOIP:
+            voice_est = 115
+        else:
+            voice_est = 48
+
+        loss = self._packet_loss_perc
+        equiv = self._equiv_rate(bps, self.channels, frame_rate,
+                                 self._vbr, 0, self._complexity, loss)
+        # mono/stereo decision (opus_encoder.c:1291-1316)
+        if self._force_channels is not None and self.channels == 2:
+            stream_channels = self._force_channels
+        elif self.channels == 2:
+            thr = _STEREO_MUSIC_THRESHOLD + (
+                voice_est * voice_est
+                * (_STEREO_VOICE_THRESHOLD - _STEREO_MUSIC_THRESHOLD) >> 14)
+            thr += -1000 if self._stream_channels == 2 else 1000
+            stream_channels = 2 if equiv > thr else 1
+        else:
+            stream_channels = self.channels
+        equiv = self._equiv_rate(bps, stream_channels, frame_rate,
+                                 self._vbr, 0, self._complexity, loss)
+
+        dtx_usable = bool(info is not None and info.valid) or is_silence
+        stereo_width = self._stereo_width(frames, n) \
+            if self.channels == 2 and self._force_channels != 1 else 0.0
+
+        # mode decision (opus_encoder.c:1330-1397)
+        if self.application == Application.RESTRICTED_LOW_DELAY:
+            mode = CodecMode.CELT_ONLY
+        else:
+            mode_voice = int((1 - stereo_width) * _MODE_THRESHOLDS[0][0]
+                             + stereo_width * _MODE_THRESHOLDS[1][0])
+            mode_music = _MODE_THRESHOLDS[1][1]
+            threshold = mode_music + (
+                voice_est * voice_est * (mode_voice - mode_music) >> 14)
+            if self.application == Application.VOIP:
+                threshold += 8000
+            if self._prev_mode == CodecMode.CELT_ONLY:
+                threshold -= 4000
+            elif self._prev_mode > 0:
+                threshold += 4000
+            mode = CodecMode.CELT_ONLY if equiv >= threshold \
+                else CodecMode.SILK_ONLY
+            if self._inband_fec and loss > (128 - voice_est) >> 4:
+                mode = CodecMode.SILK_ONLY
+            if self._dtx and not dtx_usable and voice_est > 100:
+                mode = CodecMode.SILK_ONLY
+            if max_bytes < (9000 if frame_rate > 50 else 6000) * n \
+                    // (self.sample_rate * 8):
+                mode = CodecMode.CELT_ONLY
+        if mode != CodecMode.CELT_ONLY and qms < 40:
+            mode = CodecMode.CELT_ONLY      # <10 ms needs CELT
+
+        # delayed CELT->SILK switch (opus_encoder.c:1398-1415): switch
+        # to SILK next frame; keep CELT now (no redundancy frames yet)
+        if self._prev_mode == CodecMode.CELT_ONLY \
+                and mode != CodecMode.CELT_ONLY:
+            self._silk = None    # fresh SILK state (silk_InitEncoder)
+
+        equiv = self._equiv_rate(bps, stream_channels, frame_rate,
+                                 self._vbr, mode, self._complexity, loss)
+
+        # automatic bandwidth (opus_encoder.c:1440-1504; the SILK
+        # allowBandwidthSwitch gate is treated as always-on)
+        thr_v, thr_m = _BW_THRESH_VOICE, _BW_THRESH_MUSIC
+        ths = [thr_m[i] + (voice_est * voice_est
+                           * (thr_v[i] - thr_m[i]) >> 14)
+               for i in range(8)]
+        bandwidth = int(Bandwidth.FULLBAND)
+        while bandwidth > int(Bandwidth.NARROWBAND):
+            threshold = ths[2 * (bandwidth - int(Bandwidth.MEDIUMBAND))]
+            hysteresis = ths[2 * (bandwidth
+                                  - int(Bandwidth.MEDIUMBAND)) + 1]
+            if not self._first:
+                if self._auto_bandwidth >= bandwidth:
+                    threshold -= hysteresis
+                else:
+                    threshold += hysteresis
+            if equiv >= threshold:
+                break
+            bandwidth -= 1
+        if bandwidth == int(Bandwidth.MEDIUMBAND):
+            bandwidth = int(Bandwidth.WIDEBAND)
+        self._auto_bandwidth = bandwidth
+        bandwidth = min(bandwidth, int(self._max_bandwidth))
+        if self._bandwidth != Bandwidth.AUTO:
+            bandwidth = int(self._bandwidth)
+        max_rate = frame_rate * max_bytes * 8
+        if mode != CodecMode.CELT_ONLY and max_rate < 15000:
+            bandwidth = min(bandwidth, int(Bandwidth.WIDEBAND))
+        # Nyquist caps (opus_encoder.c:1500-1507)
+        fs = self.sample_rate
+        if fs <= 24000:
+            bandwidth = min(bandwidth, int(Bandwidth.SUPERWIDEBAND))
+        if fs <= 16000:
+            bandwidth = min(bandwidth, int(Bandwidth.WIDEBAND))
+        if fs <= 12000:
+            bandwidth = min(bandwidth, int(Bandwidth.MEDIUMBAND))
+        if fs <= 8000:
+            bandwidth = min(bandwidth, int(Bandwidth.NARROWBAND))
+        # detected bandwidth reduction (opus_encoder.c:1508-1531)
+        if self._detected_bandwidth and self._bandwidth == Bandwidth.AUTO:
+            if equiv <= 18000 * stream_channels \
+                    and mode == CodecMode.CELT_ONLY:
+                min_det = int(Bandwidth.NARROWBAND)
+            elif equiv <= 24000 * stream_channels \
+                    and mode == CodecMode.CELT_ONLY:
+                min_det = int(Bandwidth.MEDIUMBAND)
+            elif equiv <= 30000 * stream_channels:
+                min_det = int(Bandwidth.WIDEBAND)
+            elif equiv <= 44000 * stream_channels:
+                min_det = int(Bandwidth.SUPERWIDEBAND)
+            else:
+                min_det = int(Bandwidth.FULLBAND)
+            bandwidth = min(bandwidth,
+                            max(self._detected_bandwidth, min_det))
+        if mode == CodecMode.CELT_ONLY \
+                and bandwidth == int(Bandwidth.MEDIUMBAND):
+            bandwidth = int(Bandwidth.WIDEBAND)
+
+        # SILK <-> hybrid by bandwidth (opus_encoder.c:1544-1549)
+        if mode == CodecMode.SILK_ONLY \
+                and bandwidth > int(Bandwidth.WIDEBAND):
+            mode = CodecMode.HYBRID
+        if mode == CodecMode.HYBRID \
+                and bandwidth <= int(Bandwidth.WIDEBAND):
+            mode = CodecMode.SILK_ONLY
+        if mode == CodecMode.HYBRID and self.channels == 2:
+            mode = CodecMode.SILK_ONLY    # round-1: hybrid is mono-input
+            bandwidth = min(bandwidth, int(Bandwidth.WIDEBAND))
+
+        # activity for DTX (opus_encoder.c:1747-1761)
+        activity = True
+        if is_silence:
+            activity = False
+        elif info is not None and info.valid:
+            activity = info.activity_probability \
+                >= _DTX_ACTIVITY_THRESHOLD
+            if not activity:
+                noise_energy = float((frames * frames).sum()) \
+                    / (n * self.channels)
+                activity = self._peak_signal_energy \
+                    < _PSEUDO_SNR_THRESHOLD * noise_energy
+        return mode, Bandwidth(bandwidth), stream_channels, activity, \
+            dtx_usable
+
+    def _dtx_decision(self, activity: bool, qms: int) -> bool:
+        """decide_dtx_mode (opus_encoder.c:988-1013)."""
+        if activity:
+            self._nb_no_activity_ms_q1 = 0
+            return False
+        self._nb_no_activity_ms_q1 += qms // 2
+        if self._nb_no_activity_ms_q1 > _NB_SPEECH_FRAMES_BEFORE_DTX * 40:
+            if self._nb_no_activity_ms_q1 <= (
+                    _NB_SPEECH_FRAMES_BEFORE_DTX
+                    + _MAX_CONSECUTIVE_DTX) * 40:
+                return True
+            self._nb_no_activity_ms_q1 = _NB_SPEECH_FRAMES_BEFORE_DTX * 40
+        return False
 
     # -- SILK mode (opus_encoder.c:1329-1396 mode decision, simplified;
     # silk-only for mono voice at NB/MB/WB rates) -------------------------
-
-    def _use_silk_mode(self, qms: int, bps: int) -> bool:
-        if self.application != Application.VOIP:
-            return False
-        if qms not in (40, 80, 160, 240):   # 10/20/40/60 ms
-            return False
-        if bps <= 0:
-            bps = self._auto_bitrate()
-        # mode_thresholds (opus_encoder.c:174-178): voice stays in
-        # SILK/hybrid up to ~64 kb/s mono / ~96 kb/s stereo
-        if bps >= 64000 * self.channels or self._signal == Signal.MUSIC:
-            return False
-        if self.channels == 1 and self._use_hybrid(qms, bps):
-            return True
-        if bps >= 32000 * self.channels:
-            return False
-        if int(self._effective_bw) > int(Bandwidth.WIDEBAND) and \
-                self._bandwidth != Bandwidth.AUTO:
-            return False
-        return True
-
-    def _use_hybrid(self, qms: int, bps: int) -> bool:
-        """Hybrid (SILK WB + CELT >=band 17) for SWB/FB voice at 10/20ms
-        (opus_encoder.c bandwidth thresholds, coarse)."""
-        if qms not in (40, 80):
-            return False
-        if self.sample_rate < 24000:
-            return False
-        if self._bandwidth != Bandwidth.AUTO:
-            if int(self._effective_bw) < int(Bandwidth.SUPERWIDEBAND):
-                return False
-            return bps >= 18000
-        return 20000 <= bps < 64000
-
-    def _silk_internal_rate(self, bps: int) -> int:
-        """Bandwidth selection (opus_encoder.c:145-168 thresholds,
-        simplified to the coarse table)."""
-        bw = self._effective_bw
-        if self._bandwidth == Bandwidth.AUTO:
-            if bps < 10000:
-                bw = Bandwidth.NARROWBAND
-            elif bps < 14000:
-                bw = Bandwidth.MEDIUMBAND
-            else:
-                bw = Bandwidth.WIDEBAND
-        bw = Bandwidth(min(int(bw), int(Bandwidth.WIDEBAND)))
-        return {Bandwidth.NARROWBAND: 8000,
-                Bandwidth.MEDIUMBAND: 12000}.get(bw, 16000), bw
 
     @staticmethod
     def _silk_rate_for_hybrid(rate: int, bw: Bandwidth, frame20ms: bool,
@@ -268,17 +549,31 @@ class Encoder:
         return silk_rate
 
     def _encode_hybrid(self, frames: np.ndarray, qms: int, bps: int,
-                       max_bytes: int) -> bytes:
-        """Hybrid frame: SILK (WB, 16 kHz internal) + CELT bands 17+
-        sharing one range coder (opus_encoder.c:1878-2300)."""
+                       max_bytes: int, bw: Bandwidth) -> bytes:
+        """Hybrid: SILK (WB, 16 kHz internal) + CELT bands 17+ sharing
+        one range coder (opus_encoder.c:1878-2300).  Frames >20 ms are
+        split into 20 ms sub-frames and repacketized (code 3)."""
+        if qms > 80:    # 40/60 ms: encode 20 ms hybrid frames
+            f20 = self.sample_rate // 50
+            nb = qms // 80
+            subs = []
+            per_budget = max_bytes // nb
+            for i in range(nb):
+                sub = self._encode_hybrid(frames[:, i * f20:(i + 1) * f20],
+                                          80, bps, per_budget, bw)
+                subs.append(sub[1:])     # strip per-frame TOC
+            # rangeFinal = last frame's rng (opus_encoder.c:2353 per
+            # frame; the decoder mirrors at opus_decoder.c:654)
+            toc = pkt.gen_toc(CodecMode.HYBRID, 50, bw, 1)
+            out = pkt.build_packet(toc, subs, cbr=not self._vbr)
+            if len(out) > max_bytes:
+                raise OpusError.buffer_too_small()
+            return out
         from .silk.encoder import EncControl, SilkEncoder
-        if not hasattr(self, "_silk") or self._silk is None:
+        if self._silk is None:
             self._silk = SilkEncoder()
         n = frames.shape[1]
         frame_ms = qms // 4
-        bw = self._effective_bw if self._bandwidth != Bandwidth.AUTO \
-            else (Bandwidth.FULLBAND if bps >= 30000
-                  else Bandwidth.SUPERWIDEBAND)
         bw = Bandwidth(max(int(bw), int(Bandwidth.SUPERWIDEBAND)))
         fec = self._inband_fec and self._packet_loss_perc > 0
         silk_rate = self._silk_rate_for_hybrid(bps, bw, frame_ms == 20,
@@ -324,7 +619,7 @@ class Encoder:
              celt.bitrate) = old
         self.final_range = enc.rng & 0xFFFFFFFF
         framerate = 4000 // qms
-        toc = pkt.gen_toc(CodecMode.HYBRID, framerate, bw, self.channels)
+        toc = pkt.gen_toc(CodecMode.HYBRID, framerate, bw, 1)
         out_bytes = (enc.tell() + 7) // 8
         out = bytes([toc]) + enc.data()[:out_bytes]
         if len(out) > max_bytes:
@@ -332,16 +627,23 @@ class Encoder:
         self._in_dtx = False
         return out
 
+    _SILK_INTERNAL_HZ = {int(Bandwidth.NARROWBAND): 8000,
+                         int(Bandwidth.MEDIUMBAND): 12000}
+
     def _encode_silk(self, frames: np.ndarray, qms: int, bps: int,
-                     max_bytes: int) -> bytes:
+                     max_bytes: int, bw: Bandwidth,
+                     stream_channels: int = None) -> bytes:
         from .silk.encoder import EncControl, SilkEncoder
-        if not hasattr(self, "_silk") or self._silk is None:
+        if self._silk is None:
             self._silk = SilkEncoder()
-        if bps <= 0:
-            bps = self._auto_bitrate()
-        if self.channels == 1 and self._use_hybrid(qms, bps):
-            return self._encode_hybrid(frames, qms, bps, max_bytes)
-        internal_hz, bw = self._silk_internal_rate(bps)
+        if stream_channels is None:
+            stream_channels = self.channels
+        if self.channels == 2 and stream_channels == 1:
+            # downmix decision from _decide; SILK's own toMono smoothing
+            # is bypassed in favour of a direct mid downmix
+            frames = frames.mean(axis=0, keepdims=True)
+        bw = Bandwidth(min(int(bw), int(Bandwidth.WIDEBAND)))
+        internal_hz = self._SILK_INTERNAL_HZ.get(int(bw), 16000)
         frame_ms = qms // 4
         ctl = EncControl(
             API_sampleRate=self.sample_rate, payloadSize_ms=frame_ms,
@@ -350,19 +652,20 @@ class Encoder:
             complexity=self._complexity,
             useInBandFEC=self._inband_fec,
             LBRR_coded=self._inband_fec and self._packet_loss_perc > 0,
-            useDTX=self._dtx, useCBR=not self._vbr,
+            useDTX=self._dtx and not self._silk_dtx_blocked,
+            useCBR=not self._vbr,
             desiredInternalSampleRate=internal_hz,
             maxBits=min(max_bytes - 1, MAX_FRAME_BYTES) * 8)
         enc = RangeEncoder(min(max_bytes - 1, MAX_FRAME_BYTES))
-        if self.channels == 2:
+        if stream_channels == 2:
             pcm = np.clip(frames.T * 32768.0, -32768, 32767)
         else:
             pcm = np.clip(frames[0] * 32768.0, -32768, 32767)
         bits = self._silk.encode(ctl, pcm, enc, max_bytes - 1,
-                                 n_channels=self.channels)
+                                 n_channels=stream_channels)
         framerate = 4000 // qms      # 100/50/25/16 for 10-60 ms
         toc = pkt.gen_toc(CodecMode.SILK_ONLY, framerate, bw,
-                          self.channels)
+                          stream_channels)
         self._in_dtx = bits == 0
         if bits == 0:
             self.final_range = 0

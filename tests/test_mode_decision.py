@@ -1,0 +1,159 @@
+"""Automatic mode/bandwidth/channel/DTX decisions
+(opus_encoder.c:1057-1553 engine driven by the tonality analysis)."""
+
+import numpy as np
+
+from opus_codec_tpu import Decoder, Encoder
+from opus_codec_tpu.types import Application, Bandwidth, Bitrate, Signal
+
+FS = 48000
+
+
+def _voice(seconds=2.0, seed=11):
+    rng = np.random.default_rng(seed)
+    t = np.arange(int(seconds * FS)) / FS
+    env = np.clip(np.sin(2 * np.pi * 4 * t), 0, 1)
+    return (env * 0.3 * np.sin(2 * np.pi * 300 * t)
+            + 0.05 * rng.standard_normal(len(t))).astype(np.float32)
+
+
+def _music(seconds=2.0):
+    t = np.arange(int(seconds * FS)) / FS
+    return sum(0.1 * np.sin(2 * np.pi * f * t + i) for i, f in
+               enumerate([220, 277, 330, 415, 523, 622])).astype(np.float32)
+
+
+def _modes(pkts):
+    return ['SILK' if p[0] >> 3 < 12 else
+            'HYB' if p[0] >> 3 < 16 else 'CELT' for p in pkts]
+
+
+def _run(enc, sig, fsz=960, dec=None):
+    pkts = []
+    for i in range(len(sig) // fsz):
+        p = enc.encode_float(sig[i * fsz:(i + 1) * fsz])
+        if dec is not None:
+            dec.decode_float(p, fsz)
+            assert enc.get_final_range() == dec.get_final_range() \
+                or enc.get_final_range() == 0
+        pkts.append(p)
+    return pkts
+
+
+def test_auto_mode_voice_vs_music():
+    """Analysis steers voice to SILK/hybrid and music to CELT at the
+    same bitrate/application (verified against reference thresholds)."""
+    enc_v = Encoder(FS, 1, Application.VOIP)
+    enc_v.set_bitrate(Bitrate(24000))
+    mv = _modes(_run(enc_v, _voice(), dec=Decoder(FS, 1)))
+    enc_m = Encoder(FS, 1, Application.VOIP)
+    enc_m.set_bitrate(Bitrate(24000))
+    mm = _modes(_run(enc_m, _music(), dec=Decoder(FS, 1)))
+    assert set(mv[-20:]) <= {'SILK', 'HYB'}
+    assert set(mm[-20:]) == {'CELT'}
+
+
+def test_mode_hysteresis_limits_switching():
+    """One content change -> at most a couple of mode switches, and the
+    mixed stream stays decodable with matching final_range."""
+    sig = np.concatenate([_music(), _voice()])
+    enc = Encoder(FS, 1, Application.VOIP)
+    enc.set_bitrate(Bitrate(24000))
+    modes = _modes(_run(enc, sig, dec=Decoder(FS, 1)))
+    switches = sum(1 for a, b in zip(modes, modes[1:]) if a != b)
+    assert switches <= 3
+
+
+def test_forced_signal_overrides_analysis():
+    enc = Encoder(FS, 1, Application.VOIP)
+    enc.set_bitrate(Bitrate(24000))
+    enc.set_signal(Signal.VOICE)
+    m = _modes(_run(enc, _music(), dec=Decoder(FS, 1)))
+    assert set(m[5:]) <= {'SILK', 'HYB'}   # music forced to voice modes
+    enc2 = Encoder(FS, 1, Application.VOIP)
+    enc2.set_bitrate(Bitrate(24000))
+    enc2.set_signal(Signal.MUSIC)
+    m2 = _modes(_run(enc2, _voice(), dec=Decoder(FS, 1)))
+    assert set(m2[5:]) == {'CELT'}
+
+
+def test_opus_level_dtx():
+    """Speech then silence with DTX -> 1-byte TOC-only packets after
+    ~400 ms of inactivity, bounded runs (decide_dtx_mode)."""
+    enc = Encoder(FS, 1, Application.VOIP)
+    enc.set_bitrate(Bitrate(24000))
+    enc.set_dtx(True)
+    sig = np.concatenate([_voice(1.0), np.zeros(2 * FS, np.float32)])
+    sizes = [len(p) for p in _run(enc, sig)]
+    n_dtx = sum(1 for s in sizes if s == 1)
+    assert n_dtx > 40                      # most of the 100 silent frames
+    assert any(s > 1 for s in sizes[50:])  # periodic refresh frames
+    assert all(s > 1 for s in sizes[:51])  # no DTX during speech+hangover
+
+
+def test_low_rate_stereo_folds_to_mono():
+    """14 kb/s stereo input -> mono stream packets below the stereo
+    threshold (opus_encoder.c:1302-1312), decodable as stereo."""
+    enc = Encoder(FS, 2, Application.VOIP)
+    enc.set_bitrate(Bitrate(14000))
+    dec = Decoder(FS, 2)
+    v = _voice()
+    st = np.stack([v, 0.9 * v], 1).ravel()
+    pkts = []
+    for i in range(len(v) // 960):
+        p = enc.encode_float(st[2 * i * 960:2 * (i + 1) * 960])
+        y = dec.decode_float(p, 960)
+        assert y.shape == (960, 2)
+        assert enc.get_final_range() == dec.get_final_range()
+        pkts.append(p)
+    assert all((p[0] >> 2) & 1 == 0 for p in pkts)   # mono TOC
+    # and a high-rate stereo encoder stays stereo
+    enc2 = Encoder(FS, 2, Application.VOIP)
+    enc2.set_bitrate(Bitrate(28000))
+    enc2.set_signal(Signal.VOICE)
+    p2 = [enc2.encode_float(st[2 * i * 960:2 * (i + 1) * 960])
+          for i in range(20)]
+    assert (p2[-1][0] >> 2) & 1 == 1
+
+
+def test_hybrid_multiframe_40ms():
+    """40 ms voice at hybrid rates -> code-3 packet of two 20 ms hybrid
+    frames; final_range protocol (last frame's rng) matches decoder."""
+    enc = Encoder(FS, 1, Application.VOIP)
+    enc.set_bitrate(Bitrate(24000))
+    enc.set_signal(Signal.VOICE)
+    dec = Decoder(FS, 1)
+    v = _voice()
+    ok = 0
+    n = len(v) // 1920
+    for i in range(n):
+        p = enc.encode_float(v[i * 1920:(i + 1) * 1920])
+        dec.decode_float(p, 1920)
+        ok += enc.get_final_range() == dec.get_final_range()
+    assert ok == n
+
+
+def test_detected_bandwidth_floor_in_silk_mode():
+    """Narrowband noise at 24 kb/s: detected bandwidth caps coding
+    bandwidth, but SILK mode never drops below WB
+    (opus_encoder.c:1516-1521)."""
+    rng = np.random.default_rng(5)
+    n = 2 * FS
+    spec = np.fft.rfft(rng.standard_normal(n))
+    spec[np.fft.rfftfreq(n, 1 / FS) > 3000] = 0
+    x = np.fft.irfft(spec)
+    x = (np.round(0.25 * x / np.abs(x).max() * 32768) / 32768) \
+        .astype(np.float32)
+    enc = Encoder(FS, 1, Application.VOIP)
+    enc.set_bitrate(Bitrate(24000))
+    enc.set_lsb_depth(16)
+    cfgs = {p[0] >> 3 for p in _run(enc, x, dec=Decoder(FS, 1))[10:]}
+    assert cfgs <= {8, 9, 10, 11}          # SILK-WB configs
+
+
+def test_user_bandwidth_still_wins():
+    enc = Encoder(FS, 1, Application.VOIP)
+    enc.set_bitrate(Bitrate(24000))
+    enc.set_bandwidth(Bandwidth.NARROWBAND)
+    pkts = _run(enc, _voice(1.0), dec=Decoder(FS, 1))
+    assert {p[0] >> 3 for p in pkts[2:]} <= {0, 1, 2, 3}   # SILK-NB

@@ -260,6 +260,8 @@ def test_opus_api_hybrid_mode(tmp_path):
            + 0.05 * np.sin(2 * np.pi * 9000 * t / fs)).astype(np.float32)
     enc = Encoder(48000, 1, Application.VOIP)
     enc.set_bitrate(Bitrate(32000))
+    from opus_codec_tpu.types import Signal
+    enc.set_signal(Signal.VOICE)   # synthetic buzz reads as music
     dec = Decoder(48000, 1)
     bit = bytearray()
     for i in range(len(sig) // 960):
@@ -296,6 +298,8 @@ def test_silk_stereo_encode(tmp_path):
     sig = np.stack([L, R], 1).astype(np.float32)
     enc = Encoder(48000, 2, Application.VOIP)
     enc.set_bitrate(Bitrate(36000))
+    from opus_codec_tpu.types import Signal
+    enc.set_signal(Signal.VOICE)   # pin voice: tonal test signal
     dec = Decoder(48000, 2)
     bit = bytearray()
     for i in range(len(t) // 960):
