@@ -99,6 +99,9 @@ class Encoder:
         self._nb_no_activity_ms_q1 = 0
         self._silk_dtx_blocked = False
         self._silk = None
+        # surround plumbing (set by MSEncoder): per-channel 21-band SMR
+        self._energy_masking = None
+        self._lfe = False
         self._apply_settings()
 
     # -- settings plumbing -------------------------------------------------
@@ -162,6 +165,8 @@ class Encoder:
             self._decide(frames, qms, bps, max_bytes)
         self._silk_dtx_blocked = dtx_usable   # opus_encoder.c:1324-1328
         self._stream_channels = stream_ch
+        self.celt.energy_mask = self._energy_masking
+        self.celt.lfe = self._lfe
         frames = self._hp_process(
             frames, celt_only=mode == CodecMode.CELT_ONLY)
 
@@ -407,6 +412,8 @@ class Encoder:
                 mode = CodecMode.CELT_ONLY
         if mode != CodecMode.CELT_ONLY and qms < 40:
             mode = CodecMode.CELT_ONLY      # <10 ms needs CELT
+        if self._lfe:
+            mode = CodecMode.CELT_ONLY      # opus_encoder.c:1395
 
         # delayed CELT->SILK switch (opus_encoder.c:1398-1415): switch
         # to SILK next frame; keep CELT now (no redundancy frames yet)
@@ -474,6 +481,8 @@ class Encoder:
         if mode == CodecMode.CELT_ONLY \
                 and bandwidth == int(Bandwidth.MEDIUMBAND):
             bandwidth = int(Bandwidth.WIDEBAND)
+        if self._lfe:
+            bandwidth = int(Bandwidth.NARROWBAND)   # opus_encoder.c:1540
 
         # SILK <-> hybrid by bandwidth (opus_encoder.c:1544-1549)
         if mode == CodecMode.SILK_ONLY \
@@ -630,6 +639,28 @@ class Encoder:
     _SILK_INTERNAL_HZ = {int(Bandwidth.NARROWBAND): 8000,
                          int(Bandwidth.MEDIUMBAND): 12000}
 
+    def _silk_masking_rate_offset(self, silk_rate: int,
+                                  bw: Bandwidth) -> int:
+        """Surround masking rate reduction for the SILK layer
+        (opus_encoder.c:1894-1933)."""
+        if self._energy_masking is None or not self._vbr or self._lfe:
+            return silk_rate
+        end, srate = 17, 16000
+        if bw == Bandwidth.NARROWBAND:
+            end, srate = 13, 8000
+        elif bw == Bandwidth.MEDIUMBAND:
+            end, srate = 15, 12000
+        em = np.asarray(self._energy_masking, np.float64).reshape(-1, 21)
+        mask = np.clip(em[:self.channels, :end], -2.0, 0.5)
+        mask = np.where(mask > 0, 0.5 * mask, mask)
+        masking_depth = float(mask.sum()) / end * self.channels
+        masking_depth += 0.2
+        rate_offset = int(srate * masking_depth)
+        rate_offset = max(rate_offset, -2 * silk_rate // 3)
+        if bw in (Bandwidth.SUPERWIDEBAND, Bandwidth.FULLBAND):
+            return silk_rate + 3 * rate_offset // 5
+        return silk_rate + rate_offset
+
     def _encode_silk(self, frames: np.ndarray, qms: int, bps: int,
                      max_bytes: int, bw: Bandwidth,
                      stream_channels: int = None) -> bytes:
@@ -644,6 +675,7 @@ class Encoder:
             frames = frames.mean(axis=0, keepdims=True)
         bw = Bandwidth(min(int(bw), int(Bandwidth.WIDEBAND)))
         internal_hz = self._SILK_INTERNAL_HZ.get(int(bw), 16000)
+        bps = self._silk_masking_rate_offset(bps, bw)
         frame_ms = qms // 4
         ctl = EncControl(
             API_sampleRate=self.sample_rate, payloadSize_ms=frame_ms,

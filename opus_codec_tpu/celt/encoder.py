@@ -457,8 +457,10 @@ def stereo_analysis(m, X, LM, N0):
 
 def compute_vbr(m, base_target, LM, bitrate, lastCodedBands, C, intensity,
                 constrained_vbr, stereo_saving, tot_boost, tf_estimate,
-                pitch_change, maxDepth, temporal_vbr):
-    """celt_encoder.c:1320-1429 (float, no analysis/surround/lfe)."""
+                pitch_change, maxDepth, temporal_vbr,
+                has_surround_mask=False, surround_masking=0.0,
+                lfe=False):
+    """celt_encoder.c:1320-1429 (float)."""
     nb = m.nb_ebands
     e_bands = m.e_bands
     coded_bands = lastCodedBands if lastCodedBands else nb
@@ -466,6 +468,10 @@ def compute_vbr(m, base_target, LM, bitrate, lastCodedBands, C, intensity,
     if C == 2:
         coded_bins += int(e_bands[min(intensity, coded_bands)]) << LM
     target = base_target
+    if has_surround_mask and not lfe:
+        surround_target = target \
+            + int(surround_masking * (coded_bins << BITRES))
+        target = max(target // 4, surround_target)
     if C == 2:
         coded_stereo_bands = min(intensity, coded_bands)
         coded_stereo_dof = (int(e_bands[coded_stereo_bands]) << LM) \
@@ -846,6 +852,58 @@ class CeltEncoder:
 
         surround_dynalloc = np.zeros(nb)
         surround_trim = 0.0
+        surround_masking = 0.0
+        # surround masking from the multistream analysis
+        # (celt_encoder.c:1776-1848, float build)
+        if not hybrid and self.energy_mask is not None and not self.lfe:
+            e_bands = m.e_bands
+            mask_end = max(2, self.lastCodedBands)
+            mask_avg = 0.0
+            diff = 0.0
+            count = 0
+            em = np.asarray(self.energy_mask, np.float64).reshape(-1, nb)
+            for c in range(C):
+                for i in range(mask_end):
+                    mask = min(max(em[c, i], -2.0), 0.25)
+                    if mask > 0:
+                        mask = 0.5 * mask
+                    w = int(e_bands[i + 1]) - int(e_bands[i])
+                    mask_avg += mask * w
+                    count += w
+                    diff += mask * (1 + 2 * i - mask_end)
+            mask_avg = mask_avg / count
+            mask_avg += 0.2
+            diff = diff * 6 / (C * (mask_end - 1)
+                               * (mask_end + 1) * mask_end)
+            diff = 0.5 * diff
+            diff = min(max(diff, -0.031), 0.031)
+            midband = 0
+            while int(e_bands[midband + 1]) < int(e_bands[mask_end]) // 2:
+                midband += 1
+            count_dynalloc = 0
+            for i in range(mask_end):
+                lin = mask_avg + diff * (i - midband)
+                if C == 2:
+                    unmask = max(em[0, i], em[1, i])
+                else:
+                    unmask = em[0, i]
+                unmask = min(unmask, 0.0) - lin
+                if unmask > 0.25:
+                    surround_dynalloc[i] = unmask - 0.25
+                    count_dynalloc += 1
+            if count_dynalloc >= 3:
+                # initial masking rate too low (celt_encoder.c:1826-1842)
+                mask_avg += 0.25
+                if mask_avg > 0:
+                    mask_avg = 0.0
+                    diff = 0.0
+                    surround_dynalloc[:mask_end] = 0.0
+                else:
+                    surround_dynalloc[:mask_end] = np.maximum(
+                        0.0, surround_dynalloc[:mask_end] - 0.25)
+            mask_avg += 0.2
+            surround_trim = 64 * diff
+            surround_masking = mask_avg
         # temporal VBR
         temporal_vbr = 0.0
         if not self.lfe:
@@ -1032,7 +1090,9 @@ class CeltEncoder:
                     m, base_target, LM, equiv_rate, self.lastCodedBands, C,
                     self.intensity, self.constrained_vbr,
                     self.stereo_saving, tot_boost, tf_estimate,
-                    pitch_change, maxDepth, temporal_vbr)
+                    pitch_change, maxDepth, temporal_vbr,
+                    self.energy_mask is not None, surround_masking,
+                    self.lfe)
             else:
                 target = base_target
                 if self.silk_info_offset < 100:

@@ -20,7 +20,111 @@ from ..bitstream import packet as pkt
 from ..errors import OpusError
 from ..types import Application, Bitrate
 
-__all__ = ["Mapping", "MSEncoder", "MSDecoder", "default_surround_mapping"]
+__all__ = ["Mapping", "MSEncoder", "MSDecoder", "default_surround_mapping",
+           "surround_analysis"]
+
+
+def _channel_pos(channels: int):
+    """Mix position per channel: 0 none, 1 left, 2 centre, 3 right
+    (opus_multistream_encoder.c:146-183)."""
+    table = {4: [1, 3, 1, 3],
+             3: [1, 2, 3],
+             5: [1, 2, 3, 1, 3],
+             6: [1, 2, 3, 1, 3, 0],
+             7: [1, 2, 3, 1, 3, 2, 0],
+             8: [1, 2, 3, 1, 3, 1, 3, 0]}
+    pos = table.get(channels, [0] * channels)
+    return pos + [0] * (channels - len(pos))
+
+
+# 17 entries like the reference's diff_table[17]: only 9 initializers,
+# C zero-fills the tail (diff in [4,8) lands there)
+_LOGSUM_TAB = np.zeros(17)
+_LOGSUM_TAB[:9] = [0.5000000, 0.2924813, 0.1609640, 0.0849625,
+                   0.0437314, 0.0221971, 0.0111839, 0.0056136, 0.0028123]
+
+
+def _log_sum(a, b):
+    """log2(2^a + 2^b) approximation (opus_multistream_encoder.c:187)."""
+    mx = max(a, b)
+    diff = abs(a - b)
+    if not diff < 8.0:
+        return mx
+    low = int(np.floor(2 * diff))
+    frac = 2 * diff - low
+    return mx + _LOGSUM_TAB[low] + frac * (_LOGSUM_TAB[low + 1]
+                                           - _LOGSUM_TAB[low])
+
+
+def surround_analysis(pcm: np.ndarray, mem: np.ndarray,
+                      preemph_mem: np.ndarray) -> np.ndarray:
+    """Per-channel 21-band signal-to-mask ratios for surround coding
+    (opus_multistream_encoder.c:224-368; 48 kHz, float build).
+
+    pcm: [N, channels] float in [-1, 1], N a multiple of 480.
+    mem: [channels, 120] MDCT overlap state; preemph_mem: [channels].
+    Returns bandSMR [channels, 21] in log2 units (dB/6.02).
+    """
+    from ..celt.bands import compute_band_energies
+    from ..celt.energy import amp2_log2
+    from ..celt.mdct import mdct_forward
+    from ..celt.modes import standard_mode
+    m = standard_mode()
+    n, channels = pcm.shape
+    overlap = len(m.window)
+    freq_size = min(960, n)
+    LM = 0
+    while (120 << LM) != freq_size and LM < 3:
+        LM += 1
+    pos = _channel_pos(channels)
+    maskLogE = np.full((3, 21), -28.0)
+    bandLogE = np.zeros((channels, 21))
+    coef = m.preemph
+    for c in range(channels):
+        x = pcm[:, c] * 32768.0           # CELT_SIG_SCALE
+        # celt_preemphasis (celt_encoder.c:507, clip/upsample-free path)
+        pre = x.copy()
+        pre[1:] -= coef * x[:-1]
+        pre[0] -= preemph_mem[c]
+        preemph_mem[c] = coef * x[-1]
+        buf = np.concatenate([mem[c], pre])
+        s = float(buf @ buf)
+        if not (s < 1e18) or not np.isfinite(s):
+            buf[:] = 0.0
+            preemph_mem[c] = 0.0
+        bandE = np.full((1, 21), 1e-27)
+        for frame in range(n // freq_size):
+            block = buf[960 * frame:960 * frame + freq_size + overlap]
+            freq = mdct_forward(block[None, :], m.window)
+            e = compute_band_energies(m, freq, 21, LM)
+            bandE = np.maximum(bandE, e)
+        bandLogE[c] = amp2_log2(m, 21, 21, bandE)[0]
+        # spreading: -6 dB/band up, -12 dB/band down
+        for i in range(1, 21):
+            bandLogE[c, i] = max(bandLogE[c, i], bandLogE[c, i - 1] - 1.0)
+        for i in range(19, -1, -1):
+            bandLogE[c, i] = max(bandLogE[c, i], bandLogE[c, i + 1] - 2.0)
+        if pos[c] == 1:
+            for i in range(21):
+                maskLogE[0, i] = _log_sum(maskLogE[0, i], bandLogE[c, i])
+        elif pos[c] == 3:
+            for i in range(21):
+                maskLogE[2, i] = _log_sum(maskLogE[2, i], bandLogE[c, i])
+        elif pos[c] == 2:
+            for i in range(21):
+                maskLogE[0, i] = _log_sum(maskLogE[0, i],
+                                          bandLogE[c, i] - 0.5)
+                maskLogE[2, i] = _log_sum(maskLogE[2, i],
+                                          bandLogE[c, i] - 0.5)
+        mem[c] = buf[n:n + overlap]
+    maskLogE[1] = np.minimum(maskLogE[0], maskLogE[2])
+    channel_offset = 0.5 * np.log2(2.0 / (channels - 1))
+    maskLogE += channel_offset
+    bandSMR = np.zeros((channels, 21))
+    for c in range(channels):
+        if pos[c] != 0:
+            bandSMR[c] = bandLogE[c] - maskLogE[pos[c] - 1]
+    return bandSMR
 
 
 @dataclass
@@ -91,35 +195,78 @@ class MSEncoder:
     packing."""
 
     def __init__(self, sample_rate: int, mapping: Mapping,
-                 application: Application):
+                 application: Application, surround: bool = False):
         mapping.validate()
         self.mapping = mapping
         self.sample_rate = sample_rate
+        self.surround = surround and mapping.channels > 2
+        self.lfe_stream = mapping.streams - 1 \
+            if surround and mapping.channels >= 6 else -1
         self.encoders: List[Encoder] = []
         for s in range(mapping.streams):
             ch = 2 if s < mapping.coupled_streams else 1
-            self.encoders.append(Encoder(sample_rate, ch, application))
+            e = Encoder(sample_rate, ch, application)
+            if s == self.lfe_stream:
+                e._lfe = True
+            self.encoders.append(e)
         self._bitrate = Bitrate.AUTO
+        # surround_analysis state (opus_multistream_encoder.c:869)
+        self._sa_mem = np.zeros((mapping.channels, 120))
+        self._sa_preemph = np.zeros(mapping.channels)
 
     @classmethod
     def new_surround(cls, sample_rate: int, channels: int,
                      application: Application) -> "MSEncoder":
         return cls(sample_rate, default_surround_mapping(channels),
-                   application)
+                   application, surround=True)
 
     def set_bitrate(self, bitrate):
         self._bitrate = bitrate
-        bps = bitrate.bps if isinstance(bitrate, Bitrate) else int(bitrate)
-        # simple per-stream split: coupled streams get 2 shares
-        # (surround_rate_allocation refinement lands with the masking
-        # analysis milestone)
-        shares = self.mapping.streams + self.mapping.coupled_streams
-        for s, e in enumerate(self.encoders):
-            w = 2 if s < self.mapping.coupled_streams else 1
-            e.set_bitrate(Bitrate(max(500, bps * w // shares)))
 
     def bitrate(self):
         return self._bitrate
+
+    def _rate_allocation(self, frame_size: int) -> List[int]:
+        """surround_rate_allocation (opus_multistream_encoder.c:~700)."""
+        m = self.mapping
+        Fs = self.sample_rate
+        nb_lfe = int(self.lfe_stream != -1)
+        nb_coupled = m.coupled_streams
+        nb_uncoupled = m.streams - nb_coupled - nb_lfe
+        nb_normal = 2 * nb_coupled + nb_uncoupled
+        channel_offset = 40 * max(50, Fs // frame_size)
+        if self._bitrate == Bitrate.AUTO:
+            bitrate = nb_normal * (channel_offset + Fs + 10000) \
+                + 8000 * nb_lfe
+        elif self._bitrate == Bitrate.MAX:
+            bitrate = nb_normal * 300000 + nb_lfe * 128000
+        else:
+            bitrate = self._bitrate.bps \
+                if isinstance(self._bitrate, Bitrate) \
+                else int(self._bitrate)
+        lfe_offset = min(bitrate // 20, 3000) \
+            + 15 * max(50, Fs // frame_size)
+        stream_offset = (bitrate - channel_offset * nb_normal
+                         - lfe_offset * nb_lfe) // nb_normal // 2
+        stream_offset = max(0, min(20000, stream_offset))
+        coupled_ratio = 512        # Q8: stereo = 2x mono
+        lfe_ratio = 32             # Q8: LFE = 1/8 mono
+        total = (nb_uncoupled << 8) + coupled_ratio * nb_coupled \
+            + nb_lfe * lfe_ratio
+        channel_rate = 256 * (bitrate - lfe_offset * nb_lfe
+                              - stream_offset * (nb_coupled + nb_uncoupled)
+                              - channel_offset * nb_normal) // total
+        rates = []
+        for i in range(m.streams):
+            if i < m.coupled_streams:
+                r = 2 * channel_offset + max(
+                    0, stream_offset + (channel_rate * coupled_ratio >> 8))
+            elif i != self.lfe_stream:
+                r = channel_offset + max(0, stream_offset + channel_rate)
+            else:
+                r = max(0, lfe_offset + (channel_rate * lfe_ratio >> 8))
+            rates.append(max(500, r))
+        return rates
 
     def encoder(self, stream: int) -> Encoder:
         """Per-stream CTL access (multistream.rs CTL forwarding)."""
@@ -134,18 +281,33 @@ class MSEncoder:
             pcm = pcm.reshape(-1, m.channels)
         if pcm.shape[1] != m.channels:
             raise OpusError.bad_arg("channel count mismatch")
+        rates = self._rate_allocation(pcm.shape[0])
+        band_smr = None
+        if self.surround and self.sample_rate == 48000 \
+                and pcm.shape[0] % 480 == 0:
+            band_smr = surround_analysis(pcm, self._sa_mem,
+                                         self._sa_preemph)
         subpackets = []
         for s in range(m.streams):
+            enc = self.encoders[s]
+            enc.set_bitrate(Bitrate(rates[s]))
             if s < m.coupled_streams:
                 li = m.left_channels(s)
                 ri = m.right_channels(s)
                 left = pcm[:, li[0]] if li else np.zeros(pcm.shape[0])
                 right = pcm[:, ri[0]] if ri else np.zeros(pcm.shape[0])
                 sig = np.stack([left, right], axis=1).ravel()
+                if band_smr is not None:
+                    enc._energy_masking = np.concatenate(
+                        [band_smr[li[0]] if li else np.zeros(21),
+                         band_smr[ri[0]] if ri else np.zeros(21)])
             else:
                 mi = m.mono_channels(s)
                 sig = pcm[:, mi[0]] if mi else np.zeros(pcm.shape[0])
-            subpackets.append(self.encoders[s].encode_float(sig, 1500))
+                if band_smr is not None and s != self.lfe_stream:
+                    enc._energy_masking = band_smr[mi[0]] if mi \
+                        else np.zeros(21)
+            subpackets.append(enc.encode_float(sig, 1500))
         out = bytearray()
         for s, p in enumerate(subpackets):
             if s < m.streams - 1:

@@ -25,6 +25,10 @@ def _sig(n, channels, seed=0):
     for c in range(channels):
         out[:, c] = 0.3 * np.sin(2 * np.pi * (200 + 100 * c) * t / 48000) \
             + 0.02 * rng.standard_normal(n)
+    if channels >= 6:
+        # channel 3 of the vorbis order (mapping entry 5) is the LFE:
+        # give it LFE-plausible content (coded NB at ~1/8 rate)
+        out[:, 5] = 0.3 * np.sin(2 * np.pi * 60 * t / 48000)
     return out
 
 
@@ -128,3 +132,68 @@ def test_projection_bad_args():
         ProjectionEncoder(48000, 4, 1, Application.AUDIO)  # wrong family
     with pytest.raises(OpusError):
         ProjectionDecoder(48000, 4, 2, 2, b"\x00" * 10)   # bad matrix size
+
+
+@pytest.mark.skipif(not os.path.exists(os.path.join(
+    os.path.dirname(__file__), "..", "tools", "oracle", "surround_check")),
+    reason="surround oracle missing")
+def test_surround_analysis_matches_reference(tmp_path):
+    """Per-channel 21-band SMRs match surround_analysis
+    (opus_multistream_encoder.c:224) to float precision."""
+    from opus_codec_tpu.opus.multistream import surround_analysis
+    oracle = os.path.join(os.path.dirname(__file__), "..", "tools",
+                          "oracle", "surround_check")
+    fs, n, ch = 48000, 960 * 5, 6
+    rng = np.random.default_rng(4)
+    t = np.arange(n)
+    x = np.zeros((n, ch), np.float32)
+    for c in range(ch):
+        x[:, c] = (0.25 * np.sin(2 * np.pi * (150 + 130 * c) * t / fs)
+                   + 0.03 * rng.standard_normal(n))
+    f = str(tmp_path / "s.f32")
+    x.ravel().tofile(f)
+    r = subprocess.run([oracle, str(ch), f], capture_output=True, text=True)
+    ref = np.array([[float(v) for v in line.split()]
+                    for line in r.stdout.splitlines()]).reshape(-1, ch, 21)
+    mem = np.zeros((ch, 120))
+    pre = np.zeros(ch)
+    ours = np.stack([surround_analysis(x[960 * i:960 * (i + 1)], mem, pre)
+                     for i in range(n // 960)])
+    assert np.abs(ours - ref).max() < 1e-4
+
+
+def test_surround_rate_allocation_shape():
+    """LFE gets ~1/8 mono rate; coupled gets about twice mono
+    (surround_rate_allocation semantics)."""
+    enc = MSEncoder.new_surround(48000, 6, Application.AUDIO)
+    enc.set_bitrate(Bitrate(256000))
+    rates = enc._rate_allocation(960)
+    assert len(rates) == 4
+    assert enc.lfe_stream == 3
+    coupled, mono, lfe = rates[0], rates[2], rates[3]
+    assert lfe < mono < coupled
+    assert coupled > 1.5 * mono
+    assert sum(rates) <= 256000 * 1.05
+
+
+def test_surround_masking_reduces_masked_stream_size():
+    """A quiet channel masked by loud neighbours spends fewer bytes
+    when the masking analysis is active."""
+    fs = 48000
+    t = np.arange(960 * 8)
+    x = np.zeros((960 * 8, 6), np.float32)
+    rng = np.random.default_rng(7)
+    for c in range(5):
+        x[:, c] = 0.4 * np.sin(2 * np.pi * (200 + 120 * c) * t / fs) \
+            + 0.05 * rng.standard_normal(len(t))
+    x[:, 5] = 0.2 * np.sin(2 * np.pi * 60 * t / fs)
+    enc = MSEncoder.new_surround(48000, 6, Application.AUDIO)
+    enc.set_bitrate(Bitrate(192000))
+    dec = MSDecoder.new_surround(48000, 6)
+    sizes = []
+    for f in range(8):
+        p = enc.encode_float(x[f * 960:(f + 1) * 960])
+        y = dec.decode_float(p, 960)
+        assert np.all(np.isfinite(y))
+        sizes.append(len(p))
+    assert all(s < 1200 for s in sizes)    # 192k/50 = 480B avg budget
