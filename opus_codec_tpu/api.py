@@ -102,6 +102,10 @@ class Encoder:
         # surround plumbing (set by MSEncoder): per-channel 21-band SMR
         self._energy_masking = None
         self._lfe = False
+        # DRED (opus_encoder.c:120-140 state; driver dnn/dred_encoder.py)
+        self._dred_duration = 0
+        self._dred_encoder = None
+        self._activity_mem = np.zeros(4 * 104, np.uint8)  # DRED_MAX_FRAMES
         self._apply_settings()
 
     # -- settings plumbing -------------------------------------------------
@@ -167,8 +171,31 @@ class Encoder:
         self._stream_channels = stream_ch
         self.celt.energy_mask = self._energy_masking
         self.celt.lfe = self._lfe
+
+        # DRED rate planning (opus_encoder.c:1198-1201)
+        dred_on = self._dred_duration > 0 and self._dred_encoder is not None
+        dred_params = None
+        if dred_on:
+            from .dnn.dred_encoder import compute_dred_bitrate
+            dred_bitrate, q0, dq, qmax, chunks = compute_dred_bitrate(
+                bps, n, self.sample_rate, self._dred_duration,
+                self._inband_fec, self._packet_loss_perc)
+            dred_params = (q0, dq, qmax, chunks)
+            bps = max(5000, bps - dred_bitrate)
+
         frames = self._hp_process(
             frames, celt_only=mode == CodecMode.CELT_ONLY)
+
+        # DRED latents + activity history (opus_encoder.c:1849-1862)
+        if dred_on:
+            fr400 = n * 400 // self.sample_rate
+            self._dred_encoder.compute_latents(
+                frames.T if self.channels == 2 else frames[0], n, 0)
+            self._activity_mem[fr400:] = self._activity_mem[:-fr400].copy()
+            self._activity_mem[:fr400] = int(activity)
+        elif self._dred_encoder is not None:
+            self._dred_encoder.latents_buffer_fill = 0
+            self._activity_mem[:] = 0
 
         if mode == CodecMode.CELT_ONLY:
             out = self._encode_celt_mode(frames, qms, bps, max_bytes, bw)
@@ -185,9 +212,44 @@ class Encoder:
             self.final_range = 0
             self._in_dtx = True
             return out[:1]     # TOC-only packet
+        if dred_on:
+            out = self._attach_dred(out, max_bytes, dred_params)
         if len(out) > max_bytes:
             raise OpusError.buffer_too_small()
         return out
+
+    def _attach_dred(self, out: bytes, max_bytes: int,
+                     params) -> bytes:
+        """Write the DRED payload into packet-extension padding
+        (opus_encoder.c:2405-2448)."""
+        from .dnn.dred_encoder import (DRED_EXPERIMENTAL_BYTES,
+                                       DRED_EXPERIMENTAL_VERSION,
+                                       DRED_EXTENSION_ID,
+                                       DRED_MAX_DATA_SIZE, DRED_MIN_BYTES,
+                                       DRED_NUM_REDUNDANCY_FRAMES)
+        from .opus.extensions import ExtensionData, extensions_generate
+        q0, dq, qmax, target_chunks = params
+        dred_chunks = min((self._dred_duration + 5) // 4,
+                          DRED_NUM_REDUNDANCY_FRAMES // 2)
+        if self._vbr:
+            dred_chunks = min(dred_chunks, target_chunks)
+        bytes_left = min(DRED_MAX_DATA_SIZE, max_bytes - len(out) - 3)
+        bytes_left -= (bytes_left + 1 + DRED_EXPERIMENTAL_BYTES) // 255
+        if dred_chunks < 1 \
+                or bytes_left < DRED_MIN_BYTES + DRED_EXPERIMENTAL_BYTES:
+            return out
+        body = self._dred_encoder.encode_silk_frame(
+            dred_chunks, bytes_left - DRED_EXPERIMENTAL_BYTES,
+            q0, dq, qmax, self._activity_mem)
+        if not body:
+            return out
+        payload = bytes([ord("D"), DRED_EXPERIMENTAL_VERSION]) + body
+        ext = extensions_generate(
+            [ExtensionData(DRED_EXTENSION_ID, 0, payload)],
+            size=len(payload) + 2, pad=False)
+        parsed = pkt.parse_packet(out)
+        return pkt.build_packet(parsed.toc, parsed.frames,
+                                padding_data=ext)
 
     def _encode_celt_mode(self, frames: np.ndarray, qms: int, bps: int,
                           max_bytes: int, bw: Bandwidth) -> bytes:
@@ -770,6 +832,24 @@ class Encoder:
 
     def signal(self) -> Signal:
         return self._signal
+
+    def set_dred_duration(self, value: int):
+        """OPUS_SET_DRED_DURATION (opus_encoder.c:2948-2957):
+        redundancy depth in 10-ms frames, 0..104."""
+        if not 0 <= value <= 104:
+            raise OpusError.bad_arg("dred duration 0..=104")
+        self._dred_duration = value
+
+    def dred_duration(self) -> int:
+        return self._dred_duration
+
+    def set_dnn_blob(self, blob: bytes):
+        """Load the DRED encoder model (dred_encoder_load_model)."""
+        from .dnn.dred import RDOVAEEncoder
+        from .dnn.dred_encoder import DredEncoder
+        self._dred_encoder = DredEncoder(
+            RDOVAEEncoder.from_blob(blob), self.sample_rate,
+            self.channels)
 
     def set_inband_fec(self, fec: bool):
         self._inband_fec = bool(fec)

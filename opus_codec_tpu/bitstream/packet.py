@@ -268,7 +268,8 @@ def parse_packet(data: bytes, self_delimited: bool = False) -> ParsedPacket:
 
 
 def build_packet(toc: int, frames: List[bytes], cbr: Optional[bool] = None,
-                 pad_to: int = 0, self_delimited: bool = False) -> bytes:
+                 pad_to: int = 0, self_delimited: bool = False,
+                 padding_data: bytes = b"") -> bytes:
     """Assemble frames into a packet, choosing the smallest framing code.
 
     Mirrors opus_repacketizer_out_range_impl framing (repacketizer.c), which is
@@ -291,15 +292,16 @@ def build_packet(toc: int, frames: List[bytes], cbr: Optional[bool] = None,
         raise OpusError.bad_arg("CBR requires equal frame sizes")
 
     out = bytearray()
-    if count == 1 and not pad_to and not self_delimited:
+    plain = not pad_to and not self_delimited and not padding_data
+    if count == 1 and plain:
         out.append((toc & 0xFC) | 0)
         out += frames[0]
         return bytes(out)
-    if count == 2 and all_equal and not pad_to and not self_delimited:
+    if count == 2 and all_equal and plain:
         out.append((toc & 0xFC) | 1)
         out += frames[0] + frames[1]
         return bytes(out)
-    if count == 2 and not pad_to and not self_delimited:
+    if count == 2 and plain:
         out.append((toc & 0xFC) | 2)
         out += encode_size(sizes[0])
         out += frames[0] + frames[1]
@@ -318,7 +320,23 @@ def build_packet(toc: int, frames: List[bytes], cbr: Optional[bool] = None,
 
     out.append((toc & 0xFC) | 3)
     current = 2 + len(body)  # toc + count byte + body
-    if pad_to > current:
+    if padding_data:
+        # padding that carries payload (extensions): the padding data
+        # bytes are exactly ``padding_data`` (opus_packet_pad_impl with
+        # extensions, repacketizer.c:329-360)
+        ch |= 0x40
+        # length coding: each 255-valued byte adds 254 data bytes
+        n255 = 0
+        rem = len(padding_data)
+        while rem > 254:
+            n255 += 1
+            rem -= 254
+        out.append(ch)
+        out += bytes([255] * n255)
+        out.append(rem)
+        out += body
+        out += padding_data
+    elif pad_to > current:
         # ``extra`` bytes of padding machinery: length bytes (each 255-valued
         # one covers itself + 254 data bytes) followed by zero data bytes.
         ch |= 0x40
