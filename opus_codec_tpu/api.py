@@ -48,6 +48,8 @@ _STEREO_MUSIC_THRESHOLD = 17000
 # (opus_encoder.c:145-168; mono == stereo in the reference)
 _BW_THRESH_VOICE = (9000, 700, 9000, 700, 13500, 1000, 14000, 2000)
 _BW_THRESH_MUSIC = (9000, 700, 9000, 700, 11000, 1000, 12000, 2000)
+_FEC_THRESHOLDS = (12000, 1000, 14000, 1000, 16000, 1000,
+                   20000, 1000, 22000, 1000)   # opus_encoder.c:180-186
 _DTX_ACTIVITY_THRESHOLD = 0.1         # silk/define.h:58
 _NB_SPEECH_FRAMES_BEFORE_DTX = 10
 _MAX_CONSECUTIVE_DTX = 20
@@ -102,6 +104,8 @@ class Encoder:
         # surround plumbing (set by MSEncoder): per-channel 21-band SMR
         self._energy_masking = None
         self._lfe = False
+        self._prev_tail = None
+        self._silk_prefill_pending = False
         # DRED (opus_encoder.c:120-140 state; driver dnn/dred_encoder.py)
         self._dred_duration = 0
         self._dred_encoder = None
@@ -197,6 +201,12 @@ class Encoder:
             self._dred_encoder.latents_buffer_fill = 0
             self._activity_mem[:] = 0
 
+        if mode != CodecMode.CELT_ONLY \
+                and getattr(self, "_silk_prefill_pending", False) \
+                and self._prev_tail is not None:
+            self._silk_prefill(qms, bps, bw)
+        self._silk_prefill_pending = False
+
         if mode == CodecMode.CELT_ONLY:
             out = self._encode_celt_mode(frames, qms, bps, max_bytes, bw)
         elif mode == CodecMode.HYBRID:
@@ -206,6 +216,9 @@ class Encoder:
                                     stream_ch)
         self._prev_mode = int(mode)
         self._first = False
+        # keep the last 10 ms for prefill on a future CELT->SILK switch
+        tail = self.sample_rate // 100
+        self._prev_tail = frames[:, -tail:].copy()
 
         # generalized (opus-level) DTX (opus_encoder.c:2363-2379)
         if self._dtx and dtx_usable and self._dtx_decision(activity, qms):
@@ -477,11 +490,14 @@ class Encoder:
         if self._lfe:
             mode = CodecMode.CELT_ONLY      # opus_encoder.c:1395
 
-        # delayed CELT->SILK switch (opus_encoder.c:1398-1415): switch
-        # to SILK next frame; keep CELT now (no redundancy frames yet)
+        # CELT->SILK switch (opus_encoder.c:1433-1438): reinit SILK and
+        # warm it with the previous frame's tail (prefill analogue;
+        # mode-switch redundancy frames are not emitted — the flag is
+        # coded 0, which decoders accept)
         if self._prev_mode == CodecMode.CELT_ONLY \
                 and mode != CodecMode.CELT_ONLY:
             self._silk = None    # fresh SILK state (silk_InitEncoder)
+            self._silk_prefill_pending = True
 
         equiv = self._equiv_rate(bps, stream_channels, frame_rate,
                                  self._vbr, mode, self._complexity, loss)
@@ -546,6 +562,11 @@ class Encoder:
         if self._lfe:
             bandwidth = int(Bandwidth.NARROWBAND)   # opus_encoder.c:1540
 
+        # in-band FEC decision, may reduce bandwidth to afford LBRR
+        # (decide_fec, opus_encoder.c:811-842)
+        bandwidth, lbrr = self._decide_fec(mode, bandwidth, equiv)
+        self._lbrr_coded = lbrr
+
         # SILK <-> hybrid by bandwidth (opus_encoder.c:1544-1549)
         if mode == CodecMode.SILK_ONLY \
                 and bandwidth > int(Bandwidth.WIDEBAND):
@@ -571,6 +592,61 @@ class Encoder:
                     < _PSEUDO_SNR_THRESHOLD * noise_energy
         return mode, Bandwidth(bandwidth), stream_channels, activity, \
             dtx_usable
+
+    def _silk_prefill(self, qms: int, bps: int, bw: Bandwidth):
+        """Warm a fresh SILK encoder with the previous frame's last
+        10 ms (silk prefill analogue, opus_encoder.c:2013-2040) —
+        output is discarded."""
+        from .silk.encoder import EncControl, SilkEncoder
+        self._silk = SilkEncoder()
+        bw = Bandwidth(min(int(bw), int(Bandwidth.WIDEBAND)))
+        ctl = EncControl(
+            API_sampleRate=self.sample_rate, payloadSize_ms=10,
+            bitRate=min(bps, 40000), packetLossPercentage=0,
+            complexity=self._complexity, useInBandFEC=False,
+            LBRR_coded=False, useDTX=False, useCBR=False,
+            desiredInternalSampleRate=self._SILK_INTERNAL_HZ.get(
+                int(bw), 16000),
+            maxBits=1275 * 8)
+        enc = RangeEncoder(1275)
+        pcm = self._prev_tail.mean(axis=0) if self.channels == 2 \
+            else self._prev_tail[0]
+        try:
+            self._silk.encode(ctl, np.clip(pcm * 32768.0, -32768, 32767),
+                              enc, 1275)
+        except Exception:
+            self._silk = SilkEncoder()   # prefill is best-effort
+
+    def _decide_fec(self, mode, bandwidth: int, rate: int):
+        """decide_fec (opus_encoder.c:811-842): rate-gated LBRR with
+        hysteresis; at >5% loss, reduce bandwidth until FEC fits."""
+        loss = self._packet_loss_perc
+        if not self._inband_fec or loss == 0 \
+                or mode == CodecMode.CELT_ONLY:
+            return bandwidth, 0
+        orig = bandwidth
+        last = getattr(self, "_last_fec", -1)
+        while True:
+            idx = 2 * (bandwidth - int(Bandwidth.NARROWBAND))
+            thres = _FEC_THRESHOLDS[idx]
+            hyst = _FEC_THRESHOLDS[idx + 1]
+            if last == 1:
+                thres -= hyst
+            elif last == 0:
+                thres += hyst
+            thres = SMLAWB(0, thres * (125 - min(loss, 25)), 655)
+            if rate > thres:
+                self._last_fec = 1
+                return bandwidth, 1
+            if loss <= 5:
+                self._last_fec = 0
+                return bandwidth, 0
+            if bandwidth > int(Bandwidth.NARROWBAND):
+                bandwidth -= 1
+            else:
+                break
+        self._last_fec = 0
+        return orig, 0
 
     def _dtx_decision(self, activity: bool, qms: int) -> bool:
         """decide_dtx_mode (opus_encoder.c:988-1013)."""
@@ -646,7 +722,7 @@ class Encoder:
         n = frames.shape[1]
         frame_ms = qms // 4
         bw = Bandwidth(max(int(bw), int(Bandwidth.SUPERWIDEBAND)))
-        fec = self._inband_fec and self._packet_loss_perc > 0
+        fec = bool(getattr(self, "_lbrr_coded", 0))
         silk_rate = self._silk_rate_for_hybrid(bps, bw, frame_ms == 20,
                                                self._vbr, fec)
         nbytes = min(max_bytes - 1, MAX_FRAME_BYTES)
@@ -745,7 +821,7 @@ class Encoder:
             packetLossPercentage=self._packet_loss_perc,
             complexity=self._complexity,
             useInBandFEC=self._inband_fec,
-            LBRR_coded=self._inband_fec and self._packet_loss_perc > 0,
+            LBRR_coded=bool(getattr(self, "_lbrr_coded", 0)),
             useDTX=self._dtx and not self._silk_dtx_blocked,
             useCBR=not self._vbr,
             desiredInternalSampleRate=internal_hz,

@@ -21,7 +21,8 @@ __all__ = [
     "Toc", "ParsedPacket", "parse_packet", "build_packet",
     "packet_bandwidth", "packet_nb_channels", "packet_nb_frames",
     "packet_nb_samples", "samples_per_frame", "packet_mode", "gen_toc",
-    "packet_pad", "packet_unpad", "encode_size", "parse_size",
+    "packet_pad", "packet_unpad", "packet_has_lbrr", "encode_size",
+    "parse_size",
 ]
 
 
@@ -406,3 +407,24 @@ def build_self_delimited(packet: bytes) -> bytes:
         for f in frames:
             out += f
     return bytes(out)
+
+
+def packet_has_lbrr(packet: bytes) -> bool:
+    """opus_packet_has_lbrr (opus_decoder.c:1139-1162): reads the
+    SILK header's LBRR flag bit(s) from the first frame."""
+    if not packet:
+        raise OpusError.bad_arg("empty packet")
+    config = packet[0] >> 3
+    if config >= 16:          # CELT-only
+        return False
+    frame_size = samples_per_frame(packet[0], 48000)
+    nb_frames = frame_size // 960 if frame_size > 960 else 1
+    stream_channels = 2 if (packet[0] >> 2) & 1 else 1
+    parsed = parse_packet(packet)
+    if not parsed.frames or not parsed.frames[0]:
+        return False
+    b0 = parsed.frames[0][0]
+    lbrr = (b0 >> (7 - nb_frames)) & 0x1
+    if stream_channels == 2:
+        lbrr = lbrr or ((b0 >> (6 - 2 * nb_frames)) & 0x1)
+    return bool(lbrr)

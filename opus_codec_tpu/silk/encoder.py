@@ -278,6 +278,16 @@ class SilkEncoderChannel:
                 + LA_SHAPE_MS * fs_khz
             self.x_buf = np.zeros(buf_len)
             self.inputBuf = np.zeros(self.frame_length + 2, np.int64)
+        # frame_length can also change via packet-size alone (10<->20ms
+        # at the same fs): keep the buffers sized to the new frame
+        if self.fs_kHz and len(self.inputBuf) != self.frame_length + 2:
+            buf_len = self.ltp_mem_length + self.frame_length \
+                + LA_SHAPE_MS * self.fs_kHz
+            old = self.x_buf
+            self.x_buf = np.zeros(buf_len)
+            keep = min(len(old), buf_len)
+            self.x_buf[-keep:] = old[-keep:]
+            self.inputBuf = np.zeros(self.frame_length + 2, np.int64)
 
     def setup_complexity(self, complexity: int):
         """silk_setup_complexity (control_codec.c:314-395)."""

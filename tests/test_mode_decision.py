@@ -157,3 +157,51 @@ def test_user_bandwidth_still_wins():
     enc.set_bandwidth(Bandwidth.NARROWBAND)
     pkts = _run(enc, _voice(1.0), dec=Decoder(FS, 1))
     assert {p[0] >> 3 for p in pkts[2:]} <= {0, 1, 2, 3}   # SILK-NB
+
+
+def test_fec_decision_and_lbrr():
+    """decide_fec: at 25% loss/16 kb/s, bandwidth drops until LBRR
+    fits and packets carry LBRR (opus_encoder.c:811-842)."""
+    from opus_codec_tpu.bitstream.packet import packet_has_lbrr
+    enc = Encoder(FS, 1, Application.VOIP)
+    enc.set_bitrate(Bitrate(16000))
+    enc.set_inband_fec(True)
+    enc.set_packet_loss_perc(25)
+    dec = Decoder(FS, 1)
+    v = _voice()
+    cfgs = set()
+    lbrr = 0
+    for i in range(len(v) // 960):
+        p = enc.encode_float(v[i * 960:(i + 1) * 960])
+        dec.decode_float(p, 960)
+        cfgs.add(p[0] >> 3)
+        lbrr += packet_has_lbrr(p)
+    assert cfgs <= set(range(0, 8))        # NB/MB after FEC reduction
+    assert lbrr > 30                       # LBRR on active frames
+    # low rate where no bandwidth affords FEC -> FEC off, bw kept
+    enc2 = Encoder(FS, 1, Application.VOIP)
+    enc2.set_bitrate(Bitrate(9000))
+    enc2.set_inband_fec(True)
+    enc2.set_packet_loss_perc(25)
+    p2 = [enc2.encode_float(v[i * 960:(i + 1) * 960]) for i in range(20)]
+    from opus_codec_tpu.bitstream.packet import packet_has_lbrr as hl
+    assert sum(hl(p) for p in p2) == 0
+
+
+def test_forced_mode_switch_with_prefill():
+    """CELT->SILK switch reinitializes+warms SILK; stream stays
+    decodable with matching final_range through the transition."""
+    enc = Encoder(FS, 1, Application.VOIP)
+    enc.set_bitrate(Bitrate(24000))
+    dec = Decoder(FS, 1)
+    m = _music()
+    v = _voice()
+    modes = []
+    for i in range(100):
+        enc.set_signal(Signal.MUSIC if i < 50 else Signal.VOICE)
+        sig = m if i < 50 else v
+        p = enc.encode_float(sig[i * 960:(i + 1) * 960])
+        dec.decode_float(p, 960)
+        assert enc.get_final_range() in (0, dec.get_final_range())
+        modes.append('C' if p[0] >> 3 >= 16 else 'S/H')
+    assert modes[49] == 'C' and modes[55] == 'S/H'
