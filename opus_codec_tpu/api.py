@@ -833,6 +833,10 @@ class Encoder:
             pcm = np.clip(frames[0] * 32768.0, -32768, 32767)
         bits = self._silk.encode(ctl, pcm, enc, max_bytes - 1,
                                  n_channels=stream_channels)
+        # TOC signals SILK's ACTUAL internal rate — the bandwidth
+        # transition can delay the switch (opus_encoder.c:2052-2060)
+        bw = {8: Bandwidth.NARROWBAND, 12: Bandwidth.MEDIUMBAND,
+              16: Bandwidth.WIDEBAND}.get(self._silk.ch.fs_kHz, bw)
         framerate = 4000 // qms      # 100/50/25/16 for 10-60 ms
         toc = pkt.gen_toc(CodecMode.SILK_ONLY, framerate, bw,
                           stream_channels)

@@ -153,6 +153,8 @@ class SilkEncoderChannel:
     """silk_encoder_state(+FLP) for one channel."""
 
     def __init__(self):
+        from .lp_filter import SilkLPState
+        self.sLP = SilkLPState()
         self.fs_kHz = 0
         self.API_fs_Hz = 0
         self.prev_API_fs_Hz = 0
@@ -625,6 +627,9 @@ class SilkEncoderChannel:
         ctrl = EncoderControlFLP()
         self.indices.Seed = self.frameCounter & 3
         self.frameCounter += 1
+        # bandwidth-transition low-pass (encode_frame_FLP.c:129)
+        from .lp_filter import lp_variable_cutoff
+        lp_variable_cutoff(self.sLP, self.inputBuf[1:1 + self.frame_length])
         x_start = self.ltp_mem_length
         frame = self.inputBuf[1:1 + self.frame_length]
         self.x_buf[x_start + LA_SHAPE_MS * self.fs_kHz:
@@ -929,7 +934,17 @@ class SilkEncoder:
             self.sStereo = StereoEncState()
         for ch in chans:
             ch.nFramesEncoded = 0
-        fs_khz = ctl.desiredInternalSampleRate // 1000
+        # internal-rate switching state machine
+        # (control_audio_bandwidth.c:36-131); a completed LP transition
+        # arms the switch for the next packet
+        from .lp_filter import control_audio_bandwidth
+        fs_khz, switch_ready = control_audio_bandwidth(
+            self.ch, ctl.desiredInternalSampleRate, ctl.API_sampleRate,
+            ctl.minInternalSampleRate, ctl.maxInternalSampleRate,
+            getattr(self, "_pending_switch", False))
+        self._pending_switch = switch_ready
+        if fs_khz != self.ch.fs_kHz and self.ch.fs_kHz:
+            self.ch.sLP.saved_fs_kHz = self.ch.fs_kHz
         self._control(self.ch, ctl, fs_khz)
         if n_channels == 2:
             self._control(self.ch2, ctl, self.ch.fs_kHz)

@@ -205,3 +205,32 @@ def test_forced_mode_switch_with_prefill():
         assert enc.get_final_range() in (0, dec.get_final_range())
         modes.append('C' if p[0] >> 3 >= 16 else 'S/H')
     assert modes[49] == 'C' and modes[55] == 'S/H'
+
+
+def test_bandwidth_transition_lp_ramp():
+    """Forcing NB on a running WB encoder ramps the variable LP over
+    ~128 frames before switching one internal rate step at a time
+    (silk/control_audio_bandwidth.c + LP_variable_cutoff.c)."""
+    fs = 16000
+    rng = np.random.default_rng(11)
+    t = np.arange(5 * fs) / fs
+    env = np.clip(np.sin(2 * np.pi * 4 * t), 0, 1)
+    v = (env * 0.3 * np.sin(2 * np.pi * 250 * t)
+         + 0.04 * rng.standard_normal(len(t))).astype(np.float32)
+    enc = Encoder(fs, 1, Application.VOIP)
+    enc.set_bitrate(Bitrate(24000))
+    dec = Decoder(fs, 1)
+    cfgs = []
+    for i in range(len(t) // 320):
+        if i == 30:
+            enc.set_bandwidth(Bandwidth.NARROWBAND)
+        p = enc.encode_float(v[i * 320:(i + 1) * 320])
+        dec.decode_float(p, 320)
+        assert enc.get_final_range() in (0, dec.get_final_range())
+        cfgs.append(p[0] >> 3)
+    # stays WB during the ramp, then steps down (WB configs 8-11,
+    # MB 4-7); no immediate jump at frame 30
+    assert cfgs[35] >= 8
+    assert cfgs[-1] < 8
+    first_drop = next(i for i, c in enumerate(cfgs) if c < 8)
+    assert first_drop > 100        # LP ramp ran first (~128 frames)
