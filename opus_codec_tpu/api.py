@@ -169,7 +169,8 @@ class Encoder:
             bps = self._auto_bitrate() if self._bitrate == Bitrate.AUTO \
                 else max_bytes * 8 * self.sample_rate // n
 
-        mode, bw, stream_ch, activity, dtx_usable = \
+        mode, bw, stream_ch, activity, dtx_usable, redundancy, \
+            celt_to_silk, to_celt = \
             self._decide(frames, qms, bps, max_bytes)
         self._silk_dtx_blocked = dtx_usable   # opus_encoder.c:1324-1328
         self._stream_channels = stream_ch
@@ -207,14 +208,24 @@ class Encoder:
             self._silk_prefill(qms, bps, bw)
         self._silk_prefill_pending = False
 
+        red_bytes = 0
+        if redundancy:
+            red_bytes = self._compute_redundancy_bytes(
+                max_bytes, bps, self.sample_rate // n)
+            if red_bytes == 0:
+                redundancy = False
+        red = (redundancy, celt_to_silk, red_bytes)
+
         if mode == CodecMode.CELT_ONLY:
             out = self._encode_celt_mode(frames, qms, bps, max_bytes, bw)
         elif mode == CodecMode.HYBRID:
-            out = self._encode_hybrid(frames, qms, bps, max_bytes, bw)
+            out = self._encode_hybrid(frames, qms, bps, max_bytes, bw,
+                                      red)
         else:
             out = self._encode_silk(frames, qms, bps, max_bytes, bw,
-                                    stream_ch)
-        self._prev_mode = int(mode)
+                                    stream_ch, red)
+        self._prev_mode = int(CodecMode.CELT_ONLY) if to_celt \
+            else int(mode)
         self._first = False
         # keep the last 10 ms for prefill on a future CELT->SILK switch
         tail = self.sample_rate // 100
@@ -490,10 +501,29 @@ class Encoder:
         if self._lfe:
             mode = CodecMode.CELT_ONLY      # opus_encoder.c:1395
 
+        # mode-switch redundancy bookkeeping (opus_encoder.c:1398-1415)
+        redundancy = False
+        celt_to_silk = False
+        to_celt = False
+        if self._prev_mode > 0 and (
+                (mode != CodecMode.CELT_ONLY
+                 and self._prev_mode == int(CodecMode.CELT_ONLY))
+                or (mode == CodecMode.CELT_ONLY
+                    and self._prev_mode != int(CodecMode.CELT_ONLY))):
+            redundancy = self.channels == 1   # round-1: mono redundancy
+            celt_to_silk = mode != CodecMode.CELT_ONLY
+            if not celt_to_silk and redundancy:
+                if qms >= 40:   # >=10 ms: delay switch, send redundancy
+                    mode = CodecMode(self._prev_mode)
+                    to_celt = True
+                else:
+                    redundancy = False
+        if qms > 80:            # multiframe packets carry no redundancy
+            redundancy = False
+            to_celt = False
+
         # CELT->SILK switch (opus_encoder.c:1433-1438): reinit SILK and
-        # warm it with the previous frame's tail (prefill analogue;
-        # mode-switch redundancy frames are not emitted — the flag is
-        # coded 0, which decoders accept)
+        # warm it with the previous frame's tail (prefill analogue)
         if self._prev_mode == CodecMode.CELT_ONLY \
                 and mode != CodecMode.CELT_ONLY:
             self._silk = None    # fresh SILK state (silk_InitEncoder)
@@ -591,7 +621,51 @@ class Encoder:
                 activity = self._peak_signal_energy \
                     < _PSEUDO_SNR_THRESHOLD * noise_energy
         return mode, Bandwidth(bandwidth), stream_channels, activity, \
-            dtx_usable
+            dtx_usable, redundancy, celt_to_silk, to_celt
+
+    @staticmethod
+    def _compute_redundancy_bytes(max_data_bytes: int, bitrate_bps: int,
+                                  frame_rate: int) -> int:
+        """compute_redundancy_bytes (opus_encoder.c:1017-1043), mono."""
+        base_bits = 40 + 20
+        red_rate = bitrate_bps + base_bits * (200 - frame_rate)
+        red_rate = 3 * red_rate // 2
+        red_bytes = red_rate // 1600
+        available = max_data_bytes * 8 - 2 * base_bits
+        cap = (available * 240 // (240 + 48000 // frame_rate)
+               + base_bits) // 8
+        red_bytes = min(red_bytes, cap)
+        if red_bytes > 4 + 8:
+            return min(257, red_bytes)
+        return 0
+
+    def _encode_redundant_celt(self, pcm: np.ndarray, nbytes: int,
+                               prefill: np.ndarray = None,
+                               reset_first: bool = False):
+        """5 ms CELT redundant frame, start band 0, CBR at max rate
+        (opus_encoder.c:2237-2253 and 2313-2341).  Returns (bytes, rng);
+        leaves the CELT state reset."""
+        celt = self.celt
+        saved = (celt.start, celt.end, celt.vbr, celt.constrained_vbr,
+                 celt.bitrate, celt.disable_pf, celt.force_intra)
+        try:
+            if reset_first:
+                celt.reset()
+            celt.start = 0
+            celt.end = _CELT_END_BAND[int(self._max_bandwidth)]
+            celt.vbr = False
+            celt.bitrate = -1
+            if prefill is not None:
+                celt.encode_with_ec(prefill, prefill.shape[1], 2)
+                celt.disable_pf = True     # CELT_SET_PREDICTION(0)
+                celt.force_intra = True
+            frame = celt.encode_with_ec(pcm, pcm.shape[1], nbytes)
+            rng = celt.rng
+        finally:
+            (celt.start, celt.end, celt.vbr, celt.constrained_vbr,
+             celt.bitrate, celt.disable_pf, celt.force_intra) = saved
+            celt.reset()
+        return frame, rng
 
     def _silk_prefill(self, qms: int, bps: int, bw: Bandwidth):
         """Warm a fresh SILK encoder with the previous frame's last
@@ -696,7 +770,8 @@ class Encoder:
         return silk_rate
 
     def _encode_hybrid(self, frames: np.ndarray, qms: int, bps: int,
-                       max_bytes: int, bw: Bandwidth) -> bytes:
+                       max_bytes: int, bw: Bandwidth,
+                       red=(False, False, 0)) -> bytes:
         """Hybrid: SILK (WB, 16 kHz internal) + CELT bands 17+ sharing
         one range coder (opus_encoder.c:1878-2300).  Frames >20 ms are
         split into 20 ms sub-frames and repacketized (code 3)."""
@@ -747,9 +822,25 @@ class Encoder:
             if self.channels == 1 else np.clip(
                 frames.mean(axis=0) * 32768.0, -32768, 32767)
         self._silk.encode(ctl, pcm, enc, nbytes)
-        # redundancy flag (opus_encoder.c:2168-2173): none in round 1
+        # redundancy flag + length (opus_encoder.c:2167-2196)
+        redundancy, celt_to_silk, red_bytes = red
+        red_data = b""
+        redundant_rng = 0
         if enc.tell() + 17 + 20 <= max_bits:
-            enc.enc_bit_logp(0, 12)
+            enc.enc_bit_logp(1 if redundancy else 0, 12)
+            if redundancy:
+                enc.enc_bit_logp(1 if celt_to_silk else 0, 1)
+                max_red = nbytes - ((enc.tell() + 8 + 3 + 7) >> 3)
+                red_bytes = min(257, max(2, min(max_red, red_bytes)))
+                enc.enc_uint(red_bytes - 2, 256)
+        else:
+            redundancy = False
+        n5 = self.sample_rate // 200
+        n25 = self.sample_rate // 400
+        if redundancy and celt_to_silk:
+            # CELT->SILK: redundant frame continues the old CELT state
+            red_data, redundant_rng = self._encode_redundant_celt(
+                frames[:, :n5], red_bytes)
         # CELT half: bands 17+ (opus_encoder.c:2253-2264)
         celt = self.celt
         old = (celt.start, celt.end, celt.vbr, celt.constrained_vbr,
@@ -760,15 +851,23 @@ class Encoder:
             celt.vbr = self._vbr
             celt.constrained_vbr = False
             celt.bitrate = max(bps - silk_rate, 4000)
-            celt.encode_with_ec(frames, n, nbytes, enc=enc)
+            celt.encode_with_ec(frames, n,
+                                max(2, nbytes - (red_bytes
+                                                 if redundancy else 0)),
+                                enc=enc)
         finally:
             (celt.start, celt.end, celt.vbr, celt.constrained_vbr,
              celt.bitrate) = old
-        self.final_range = enc.rng & 0xFFFFFFFF
+        if redundancy and not celt_to_silk:
+            # SILK->CELT: 2.5 ms prefill + 5 ms redundant frame
+            red_data, redundant_rng = self._encode_redundant_celt(
+                frames[:, -n5:], red_bytes,
+                prefill=frames[:, -(n5 + n25):-n5], reset_first=True)
+        self.final_range = (enc.rng ^ redundant_rng) & 0xFFFFFFFF
         framerate = 4000 // qms
         toc = pkt.gen_toc(CodecMode.HYBRID, framerate, bw, 1)
         out_bytes = (enc.tell() + 7) // 8
-        out = bytes([toc]) + enc.data()[:out_bytes]
+        out = bytes([toc]) + enc.data()[:out_bytes] + red_data
         if len(out) > max_bytes:
             raise OpusError.buffer_too_small()
         self._in_dtx = False
@@ -801,7 +900,8 @@ class Encoder:
 
     def _encode_silk(self, frames: np.ndarray, qms: int, bps: int,
                      max_bytes: int, bw: Bandwidth,
-                     stream_channels: int = None) -> bytes:
+                     stream_channels: int = None,
+                     red=(False, False, 0)) -> bytes:
         from .silk.encoder import EncControl, SilkEncoder
         if self._silk is None:
             self._silk = SilkEncoder()
@@ -844,10 +944,29 @@ class Encoder:
         if bits == 0:
             self.final_range = 0
             return bytes([toc])    # DTX: TOC-only packet
+        # mode-switch redundancy (opus_encoder.c:2167-2200, 2236-2341):
+        # in SILK-only mode the redundancy is inferred from the packet
+        # length; only the celt_to_silk bit is range-coded
+        redundancy, celt_to_silk, red_bytes = red
+        red_data = b""
+        redundant_rng = 0
+        if redundancy and enc.tell() + 17 <= 8 * (max_bytes - 1):
+            enc.enc_bit_logp(1 if celt_to_silk else 0, 1)
+            max_red = (max_bytes - 1) - ((enc.tell() + 7) >> 3)
+            red_bytes = min(257, max(2, min(max_red, red_bytes)))
+            n5 = self.sample_rate // 200
+            n25 = self.sample_rate // 400
+            if celt_to_silk:
+                red_data, redundant_rng = self._encode_redundant_celt(
+                    frames[:, :n5], red_bytes)
+            else:
+                red_data, redundant_rng = self._encode_redundant_celt(
+                    frames[:, -n5:], red_bytes,
+                    prefill=frames[:, -(n5 + n25):-n5], reset_first=True)
         enc.done()
-        self.final_range = enc.rng & 0xFFFFFFFF
+        self.final_range = (enc.rng ^ redundant_rng) & 0xFFFFFFFF
         nbytes = (enc.tell() + 7) // 8
-        out = bytes([toc]) + enc.data()[:nbytes]
+        out = bytes([toc]) + enc.data()[:nbytes] + red_data
         if len(out) > max_bytes:
             raise OpusError.buffer_too_small()
         return out

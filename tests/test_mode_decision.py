@@ -234,3 +234,32 @@ def test_bandwidth_transition_lp_ramp():
     assert cfgs[-1] < 8
     first_drop = next(i for i, c in enumerate(cfgs) if c < 8)
     assert first_drop > 100        # LP ramp ran first (~128 frames)
+
+
+def test_mode_switch_redundancy_frames():
+    """Mode switches carry 5 ms redundant CELT frames in both
+    directions; final_range = rng ^ redundant_rng matches between
+    encoder and decoder, proving bit-exact redundancy decode
+    (opus_encoder.c:2167-2341 / opus_decoder.c:453-480,654)."""
+    enc = Encoder(FS, 1, Application.VOIP)
+    enc.set_bitrate(Bitrate(24000))
+    dec = Decoder(FS, 1)
+    m = _music(4.0)
+    v = _voice(4.0)
+    modes = []
+    sizes = []
+    for i in range(200):
+        voicey = 60 <= i < 130
+        enc.set_signal(Signal.VOICE if voicey else Signal.MUSIC)
+        sig = v if voicey else m
+        p = enc.encode_float(sig[i * 960:(i + 1) * 960])
+        dec.decode_float(p, 960)
+        assert enc.get_final_range() in (0, dec.get_final_range()), i
+        modes.append('C' if p[0] >> 3 >= 16 else 'V')
+        sizes.append(len(p))
+    # both switch directions happened
+    assert modes[55] == 'C' and modes[65] == 'V'
+    assert modes[125] == 'V' and modes[135] == 'C'
+    # the switch frames are larger (carry the redundant CELT frame)
+    sw1 = next(i for i in range(58, 70) if modes[i] == 'V')
+    assert sizes[sw1] > np.mean(sizes[62:70]) * 1.2
