@@ -134,7 +134,10 @@ class CeltDecoder:
         self.mode = mode or standard_mode()
         self.channels = channels           # CC: output channels
         self.stream_channels = channels    # C: coded channels
-        self.downsample = resampling_factor(sampling_rate)
+        if mode is not None and mode.fs == sampling_rate:
+            self.downsample = 1            # custom mode at native rate
+        else:
+            self.downsample = resampling_factor(sampling_rate)
         if self.downsample == 0:
             raise OpusError.bad_arg("unsupported rate")
         self.start = 0
@@ -457,10 +460,19 @@ class CeltDecoder:
             x = self.decode_mem[c, DECODE_BUFFER_SIZE - N:]
             mem = self.preemph_memD[c]
             scratch = np.empty(N)
-            for j in range(N):
-                tmp = x[j] + VERY_SMALL + mem
-                mem = coef0 * tmp
-                scratch[j] = tmp
+            if m.preemph1 != 0.0:
+                # 2nd-order deemphasis for custom modes <40 kHz
+                # (celt_decoder.c:311-323)
+                coef1, coef3 = m.preemph1, m.preemph3
+                for j in range(N):
+                    tmp = x[j] + mem + VERY_SMALL
+                    mem = coef0 * tmp - coef1 * x[j]
+                    scratch[j] = coef3 * tmp
+            else:
+                for j in range(N):
+                    tmp = x[j] + VERY_SMALL + mem
+                    mem = coef0 * tmp
+                    scratch[j] = tmp
             self.preemph_memD[c] = mem
             pcm[c] = scratch[::self.downsample][:Nd] / CELT_SIG_SCALE
         return pcm

@@ -505,7 +505,10 @@ class CeltEncoder:
         self.mode = mode or standard_mode()
         self.channels = channels          # CC
         self.stream_channels = channels   # C
-        self.upsample = resampling_factor(sampling_rate)
+        if mode is not None and mode.fs == sampling_rate:
+            self.upsample = 1             # custom mode at native rate
+        else:
+            self.upsample = resampling_factor(sampling_rate)
         if self.upsample == 0:
             raise OpusError.bad_arg("unsupported rate")
         self.start = 0
@@ -574,10 +577,19 @@ class CeltEncoder:
         if need_clip:
             inp = np.clip(inp, -65536.0, 65536.0)
         out = np.empty(N)
-        for i in range(N):
-            x = inp[i]
-            out[i] = x - mem
-            mem = coef0 * x
+        if m.preemph1 != 0.0:
+            # 2nd-order preemphasis for custom modes <40 kHz
+            # (celt_encoder.c:552-566)
+            coef1, coef2 = m.preemph1, m.preemph2
+            for i in range(N):
+                tmp = coef2 * inp[i]
+                out[i] = tmp + mem
+                mem = coef1 * out[i] - coef0 * tmp
+        else:
+            for i in range(N):
+                x = inp[i]
+                out[i] = x - mem
+                mem = coef0 * x
         self.preemph_memE[c] = mem
         return out
 

@@ -155,6 +155,9 @@ class CeltMode:
     cache_index: np.ndarray      # [(max_lm+2) * nb_ebands] int
     cache_bits: np.ndarray       # [cache_size] uint8
     cache_caps: np.ndarray       # [(max_lm+1)*2*nb_ebands] uint8
+    preemph1: float = 0.0        # 2nd preemph coef (custom modes <40k)
+    preemph2: float = 1.0        # exact 1/preemph3 (input scale)
+    preemph3: float = 1.0        # deemphasis gain
 
     @property
     def nb_alloc_vectors(self) -> int:
@@ -289,14 +292,81 @@ def _compute_pulse_cache(e_bands, nb_ebands, log_n, max_lm):
     return cindex, bits, caps
 
 
-@lru_cache(maxsize=None)
-def standard_mode(fs: int = 48000, frame_size: int = 960) -> CeltMode:
-    """Build the (cached) standard Opus CELT mode.
+# Critical band edges (modes.c:82-88)
+BARK_FREQ = (0, 100, 200, 300, 400, 510, 630, 770, 920, 1080, 1270,
+             1480, 1720, 2000, 2320, 2700, 3150, 3700, 4400, 5300,
+             6400, 7700, 9500, 12000, 15500, 20000)
+BARK_BANDS = len(BARK_FREQ) - 1
 
-    Only the standard 48 kHz / 960 mode is required for Opus; the
-    construction follows opus_custom_mode_create so custom modes come for
-    free later.
-    """
+
+def _compute_ebands(fs: int, frame_size: int, res: int):
+    """compute_ebands (modes.c:90-166) for non-standard modes."""
+    n_bark = 1
+    while n_bark < BARK_BANDS and BARK_FREQ[n_bark + 1] * 2 < fs:
+        n_bark += 1
+    lin = 0
+    while lin < n_bark and BARK_FREQ[lin + 1] - BARK_FREQ[lin] < res:
+        lin += 1
+    low = (BARK_FREQ[lin] + res // 2) // res
+    high = n_bark - lin
+    nb = low + high
+    e = [0] * (nb + 2)
+    for i in range(low):
+        e[i] = i
+    offset = e[low - 1] * res - BARK_FREQ[lin - 1] if low > 0 else 0
+    for i in range(high):
+        target = BARK_FREQ[lin + i]
+        e[i + low] = (target + offset // 2 + res) // (2 * res) * 2
+        offset = e[i + low] * res - target
+    for i in range(nb):
+        if e[i] < i:
+            e[i] = i
+    e[nb] = (BARK_FREQ[n_bark] + res) // (2 * res) * 2
+    if e[nb] > frame_size:
+        e[nb] = frame_size
+    for i in range(1, nb - 1):
+        if e[i + 1] - e[i] < e[i] - e[i - 1]:
+            e[i] -= (2 * e[i] - e[i - 1] - e[i + 1]) // 2
+    # remove empty bands
+    j = 0
+    for i in range(nb):
+        if e[i + 1] > e[j]:
+            j += 1
+            e[j] = e[i + 1]
+    return np.array(e[:j + 1], dtype=np.int64)
+
+
+def _interp_alloc_table(e_bands, nb_ebands, fs, short_mdct_size):
+    """compute_allocation_table interpolation (modes.c:183-226)."""
+    max_bands = len(EBAND5MS) - 1
+    std = np.array(BAND_ALLOCATION, dtype=np.int64).reshape(
+        BITALLOC_SIZE, max_bands)
+    out = np.zeros((BITALLOC_SIZE, nb_ebands), dtype=np.int64)
+    for i in range(BITALLOC_SIZE):
+        for j in range(nb_ebands):
+            freq = int(e_bands[j]) * fs // short_mdct_size
+            k = 0
+            while k < max_bands and 400 * EBAND5MS[k] <= freq:
+                k += 1
+            if k > max_bands - 1:
+                out[i, j] = std[i, max_bands - 1]
+            else:
+                a1 = freq - 400 * EBAND5MS[k - 1]
+                a0 = 400 * EBAND5MS[k] - freq
+                out[i, j] = (a0 * std[i, k - 1] + a1 * std[i, k]) \
+                    // (a0 + a1)
+    return out
+
+
+@lru_cache(maxsize=None)
+def mode_create(fs: int, frame_size: int) -> CeltMode:
+    """opus_custom_mode_create (modes.c:227-445): standard or custom."""
+    if not 8000 <= fs <= 96000:
+        raise ValueError("Fs 8000..96000")
+    if not 40 <= frame_size <= 1024 or frame_size % 2:
+        raise ValueError("frame_size 40..1024, even")
+    if frame_size * 1000 < fs:
+        raise ValueError("frames under 1 ms unsupported")
     # LM selection (modes.c:289-301)
     if frame_size * 75 >= fs and frame_size % 16 == 0:
         max_lm = 3
@@ -307,22 +377,40 @@ def standard_mode(fs: int = 48000, frame_size: int = 960) -> CeltMode:
     else:
         max_lm = 0
     short_mdct_size = frame_size >> max_lm
+    if short_mdct_size * 300 > fs:
+        raise ValueError("short blocks over 3.3 ms unsupported")
 
-    assert fs == 400 * short_mdct_size, \
-        "only standard modes (2.5 ms short MDCT) supported for now"
-    e_bands = np.array(EBAND5MS, dtype=np.int64)
-    nb_ebands = len(EBAND5MS) - 1
-    alloc_vectors = np.array(BAND_ALLOCATION, dtype=np.int64).reshape(
-        BITALLOC_SIZE, nb_ebands)
+    # preemphasis family (modes.c:313-343): (coef0, coef1, 1/gain, gain)
+    if fs < 12000:
+        pre = (0.3500061035, -0.1799926758, 0.2719968125, 3.6765136719)
+    elif fs < 24000:
+        pre = (0.6000061035, -0.1799926758, 0.4424998650, 2.2598876953)
+    elif fs < 40000:
+        pre = (0.7799987793, -0.1000061035, 0.7499771125, 1.3333740234)
+    else:
+        pre = (0.8500061035, 0.0, 1.0, 1.0)
+    preemph, preemph1, preemph2, preemph3 = pre
+
+    if fs == 400 * short_mdct_size:
+        e_bands = np.array(EBAND5MS, dtype=np.int64)
+        nb_ebands = len(EBAND5MS) - 1
+        alloc_vectors = np.array(BAND_ALLOCATION, dtype=np.int64).reshape(
+            BITALLOC_SIZE, nb_ebands)
+    else:
+        res = (fs + short_mdct_size) // (2 * short_mdct_size)
+        e_bands = _compute_ebands(fs, short_mdct_size, res)
+        nb_ebands = len(e_bands) - 1
+        if (int(e_bands[nb_ebands]) - int(e_bands[nb_ebands - 1])) \
+                << max_lm > 208:
+            raise ValueError("top band too large for PVQ tables")
+        alloc_vectors = _interp_alloc_table(e_bands, nb_ebands, fs,
+                                            short_mdct_size)
 
     eff_ebands = nb_ebands
     while e_bands[eff_ebands] > short_mdct_size:
         eff_ebands -= 1
 
     overlap = (short_mdct_size >> 2) << 2
-
-    # Preemphasis for 48 kHz family (modes.c:337-343)
-    preemph = 0.8500061035
 
     log_n = np.array([log2_frac(int(e_bands[i + 1] - e_bands[i]), BITRES)
                       for i in range(nb_ebands)], dtype=np.int64)
@@ -340,4 +428,10 @@ def standard_mode(fs: int = 48000, frame_size: int = 960) -> CeltMode:
         nb_ebands=nb_ebands, eff_ebands=eff_ebands, overlap=overlap,
         e_bands=e_bands, alloc_vectors=alloc_vectors, log_n=log_n,
         window=window, preemph=preemph, cache_index=cache_index,
-        cache_bits=cache_bits, cache_caps=cache_caps)
+        cache_bits=cache_bits, cache_caps=cache_caps,
+        preemph1=preemph1, preemph2=preemph2, preemph3=preemph3)
+
+
+def standard_mode(fs: int = 48000, frame_size: int = 960) -> CeltMode:
+    """Build the (cached) standard Opus CELT mode."""
+    return mode_create(fs, frame_size)
