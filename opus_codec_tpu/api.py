@@ -26,7 +26,8 @@ from .errors import ErrorCode, OpusError
 from .opus.decoder import OpusDecoder
 from .opus.hp_filter import dc_reject, hp_cutoff
 from .silk.sigproc import SMLAWB, lin2log, log2lin
-from .types import Application, Bandwidth, Bitrate, CodecMode, Signal
+from .types import (Application, Bandwidth, Bitrate, CodecMode,
+                    ExpertFrameDuration, Signal)
 
 __all__ = ["Encoder", "Decoder", "Repacketizer"]
 
@@ -83,6 +84,7 @@ class Encoder:
         self._force_channels: Optional[int] = None
         self._prediction_disabled = False
         self._phase_inversion_disabled = False
+        self._variable_duration = ExpertFrameDuration.ARG
         self._in_dtx = False
         self.final_range = 0
         # input HP front-end state (opus_encoder.c:286, 1795-1830)
@@ -163,6 +165,9 @@ class Encoder:
         n = frames.shape[1]
         if n > max_frame_samples_for(self.sample_rate):
             raise OpusError.bad_arg("frame too long")
+        sel = self._frame_size_select(n)
+        if sel != n:
+            return self._encode_split(frames, sel, max_bytes)
         qms = self._frame_ms_x4(n)
         bps = self._bitrate_bps()
         if bps <= 0:   # AUTO / MAX
@@ -174,6 +179,7 @@ class Encoder:
             self._decide(frames, qms, bps, max_bytes)
         self._silk_dtx_blocked = dtx_usable   # opus_encoder.c:1324-1328
         self._stream_channels = stream_ch
+        self.celt.stream_channels = stream_ch   # CELT_SET_CHANNELS
         self.celt.energy_mask = self._energy_masking
         self.celt.lfe = self._lfe
 
@@ -211,7 +217,7 @@ class Encoder:
         red_bytes = 0
         if redundancy:
             red_bytes = self._compute_redundancy_bytes(
-                max_bytes, bps, self.sample_rate // n)
+                max_bytes, bps, self.sample_rate // n, self.channels)
             if red_bytes == 0:
                 redundancy = False
         red = (redundancy, celt_to_silk, red_bytes)
@@ -240,6 +246,51 @@ class Encoder:
             out = self._attach_dred(out, max_bytes, dred_params)
         if len(out) > max_bytes:
             raise OpusError.buffer_too_small()
+        return out
+
+    def _frame_size_select(self, frame_size: int) -> int:
+        """frame_size_select (opus_encoder.c:704-727): the internal frame
+        duration chosen by OPUS_SET_EXPERT_FRAME_DURATION."""
+        fs = self.sample_rate
+        if frame_size < fs // 400:
+            raise OpusError.bad_arg("frame too short")
+        vd = self._variable_duration
+        if vd == ExpertFrameDuration.ARG:
+            new_size = frame_size
+        else:
+            idx = int(vd) - int(ExpertFrameDuration.MS2_5)
+            if vd <= ExpertFrameDuration.MS40:
+                new_size = (fs // 400) << idx
+            else:                      # 60/80/100/120 ms
+                new_size = (idx - 2) * fs // 50
+        if new_size > frame_size:
+            raise OpusError.bad_arg("expert duration exceeds input")
+        if (400 * new_size != fs and 200 * new_size != fs
+                and 100 * new_size != fs and 50 * new_size != fs
+                and 25 * new_size != fs and 50 * new_size != 3 * fs
+                and 50 * new_size != 4 * fs and 50 * new_size != 5 * fs
+                and 50 * new_size != 6 * fs):
+            raise OpusError.bad_arg("bad internal frame size")
+        return new_size
+
+    def _encode_split(self, frames: np.ndarray, sel: int,
+                      max_bytes: int) -> bytes:
+        """Encode the input as multiple ``sel``-sample frames merged
+        into one packet (the repacketizer loop in the tail of
+        opus_encode_native, opus_encoder.c:1555-1697)."""
+        n = frames.shape[1]
+        if n % sel:
+            raise OpusError.bad_arg("input not a multiple of the "
+                                    "expert frame duration")
+        nb = n // sel
+        if nb > 48:
+            raise OpusError.bad_arg("more than 48 frames")
+        per = min(MAX_FRAME_BYTES + 1, max(3, max_bytes // nb))
+        rp = Repacketizer()
+        for i in range(nb):
+            chunk = frames[:, i * sel:(i + 1) * sel]
+            rp.cat(self.encode_float(chunk, per))
+        out = rp.out(max_bytes)
         return out
 
     def _attach_dred(self, out: bytes, max_bytes: int,
@@ -282,6 +333,7 @@ class Encoder:
         f20 = self.sample_rate // 50
         old_end = self.celt.end
         self.celt.end = _CELT_END_BAND[int(bw)]
+        switched = self._celt_mode_switch_prefill(CodecMode.CELT_ONLY)
         try:
             if qms <= 80:  # single CELT frame (2.5..20 ms)
                 framerate = 4000 // qms
@@ -292,7 +344,7 @@ class Encoder:
                 frame = self.celt.encode_with_ec(frames, n, nbytes)
                 self.final_range = self.celt.rng
                 toc = pkt.gen_toc(CodecMode.CELT_ONLY, framerate,
-                                  bw, self.channels)
+                                  bw, self._stream_channels)
                 out = bytes([toc]) + frame
             else:  # multiframe packet of 20 ms CELT frames
                 nb = qms // 80
@@ -308,14 +360,35 @@ class Encoder:
                 # rangeFinal = last frame's rng (opus_encoder.c:2353)
                 self.final_range = self.celt.rng
                 toc = pkt.gen_toc(CodecMode.CELT_ONLY, 50, bw,
-                                  self.channels)
+                                  self._stream_channels)
                 out = pkt.build_packet(toc, subs, cbr=not self._vbr)
         finally:
             self.celt.end = old_end
+            if switched:
+                self.celt.disable_pf = self._prediction_disabled
+                self.celt.force_intra = False
         if len(out) > max_bytes:
             raise OpusError.buffer_too_small()
         self._in_dtx = False
         return out
+
+    def _celt_mode_switch_prefill(self, mode) -> bool:
+        """On a non-redundant switch into a CELT-coded mode the reference
+        resets the CELT encoder, prefills 2.5 ms from the buffered tail
+        and disables prediction for the first frame
+        (opus_encoder.c:2289-2297: OPUS_RESET_STATE + prefill +
+        CELT_SET_PREDICTION(0) when mode != prev_mode && prev_mode > 0).
+        Returns True when the switch handling was applied (caller must
+        restore prediction CTLs afterwards)."""
+        if self._prev_mode <= 0 or self._prev_mode == int(mode) \
+                or self._prev_tail is None:
+            return False
+        n25 = self.sample_rate // 400
+        self.celt.reset()
+        self.celt.encode_with_ec(self._prev_tail[:, -n25:], n25, 2)
+        self.celt.disable_pf = True      # CELT_SET_PREDICTION(0)
+        self.celt.force_intra = True
+        return True
 
     def _hp_process(self, frames: np.ndarray, celt_only: bool) -> np.ndarray:
         """Input HP front-end (opus_encoder.c:1795-1830): variable
@@ -510,7 +583,7 @@ class Encoder:
                  and self._prev_mode == int(CodecMode.CELT_ONLY))
                 or (mode == CodecMode.CELT_ONLY
                     and self._prev_mode != int(CodecMode.CELT_ONLY))):
-            redundancy = self.channels == 1   # round-1: mono redundancy
+            redundancy = True
             celt_to_silk = mode != CodecMode.CELT_ONLY
             if not celt_to_silk and redundancy:
                 if qms >= 40:   # >=10 ms: delay switch, send redundancy
@@ -532,28 +605,35 @@ class Encoder:
         equiv = self._equiv_rate(bps, stream_channels, frame_rate,
                                  self._vbr, mode, self._complexity, loss)
 
-        # automatic bandwidth (opus_encoder.c:1440-1504; the SILK
-        # allowBandwidthSwitch gate is treated as always-on)
-        thr_v, thr_m = _BW_THRESH_VOICE, _BW_THRESH_MUSIC
-        ths = [thr_m[i] + (voice_est * voice_est
-                           * (thr_v[i] - thr_m[i]) >> 14)
-               for i in range(8)]
-        bandwidth = int(Bandwidth.FULLBAND)
-        while bandwidth > int(Bandwidth.NARROWBAND):
-            threshold = ths[2 * (bandwidth - int(Bandwidth.MEDIUMBAND))]
-            hysteresis = ths[2 * (bandwidth
-                                  - int(Bandwidth.MEDIUMBAND)) + 1]
-            if not self._first:
-                if self._auto_bandwidth >= bandwidth:
-                    threshold -= hysteresis
-                else:
-                    threshold += hysteresis
-            if equiv >= threshold:
-                break
-            bandwidth -= 1
-        if bandwidth == int(Bandwidth.MEDIUMBAND):
-            bandwidth = int(Bandwidth.WIDEBAND)
-        self._auto_bandwidth = bandwidth
+        # automatic bandwidth selection is only re-evaluated when SILK
+        # allows a bandwidth switch — i.e. during speech inactivity —
+        # or in CELT mode / on the first frame (opus_encoder.c:1441)
+        silk_allows = self._silk is None \
+            or bool(getattr(self._silk, "allowBandwidthSwitch", 0))
+        if mode == CodecMode.CELT_ONLY or self._first or silk_allows:
+            thr_v, thr_m = _BW_THRESH_VOICE, _BW_THRESH_MUSIC
+            ths = [thr_m[i] + (voice_est * voice_est
+                               * (thr_v[i] - thr_m[i]) >> 14)
+                   for i in range(8)]
+            bandwidth = int(Bandwidth.FULLBAND)
+            while bandwidth > int(Bandwidth.NARROWBAND):
+                threshold = ths[2 * (bandwidth
+                                     - int(Bandwidth.MEDIUMBAND))]
+                hysteresis = ths[2 * (bandwidth
+                                      - int(Bandwidth.MEDIUMBAND)) + 1]
+                if not self._first:
+                    if self._auto_bandwidth >= bandwidth:
+                        threshold -= hysteresis
+                    else:
+                        threshold += hysteresis
+                if equiv >= threshold:
+                    break
+                bandwidth -= 1
+            if bandwidth == int(Bandwidth.MEDIUMBAND):
+                bandwidth = int(Bandwidth.WIDEBAND)
+            self._auto_bandwidth = bandwidth
+        else:
+            bandwidth = self._auto_bandwidth
         bandwidth = min(bandwidth, int(self._max_bandwidth))
         if self._bandwidth != Bandwidth.AUTO:
             bandwidth = int(self._bandwidth)
@@ -625,9 +705,9 @@ class Encoder:
 
     @staticmethod
     def _compute_redundancy_bytes(max_data_bytes: int, bitrate_bps: int,
-                                  frame_rate: int) -> int:
-        """compute_redundancy_bytes (opus_encoder.c:1017-1043), mono."""
-        base_bits = 40 + 20
+                                  frame_rate: int, channels: int) -> int:
+        """compute_redundancy_bytes (opus_encoder.c:1017-1043)."""
+        base_bits = 40 * channels + 20
         red_rate = bitrate_bps + base_bits * (200 - frame_rate)
         red_rate = 3 * red_rate // 2
         red_bytes = red_rate // 1600
@@ -635,16 +715,24 @@ class Encoder:
         cap = (available * 240 // (240 + 48000 // frame_rate)
                + base_bits) // 8
         red_bytes = min(red_bytes, cap)
-        if red_bytes > 4 + 8:
+        if red_bytes > 4 + 8 * channels:
             return min(257, red_bytes)
         return 0
 
     def _encode_redundant_celt(self, pcm: np.ndarray, nbytes: int,
+                               bw: Bandwidth,
                                prefill: np.ndarray = None,
-                               reset_first: bool = False):
+                               reset_first: bool = False,
+                               reset_after: bool = True):
         """5 ms CELT redundant frame, start band 0, CBR at max rate
-        (opus_encoder.c:2237-2253 and 2313-2341).  Returns (bytes, rng);
-        leaves the CELT state reset."""
+        (opus_encoder.c:2237-2253 and 2313-2341).  Returns (bytes, rng).
+
+        For the CELT->SILK direction the reference resets the CELT state
+        after the redundant frame (OPUS_RESET_STATE, opus_encoder.c:2252);
+        for SILK->CELT (to_celt) it keeps the prefill+redundant-frame
+        state so the next CELT-only frame continues from it — decoders
+        likewise skip their reset after a packet that carried redundancy.
+        """
         celt = self.celt
         saved = (celt.start, celt.end, celt.vbr, celt.constrained_vbr,
                  celt.bitrate, celt.disable_pf, celt.force_intra)
@@ -652,7 +740,10 @@ class Encoder:
             if reset_first:
                 celt.reset()
             celt.start = 0
-            celt.end = _CELT_END_BAND[int(self._max_bandwidth)]
+            # end band follows the packet's TOC bandwidth — decoders
+            # decode the redundant frame with CELT_SET_END_BAND(endband)
+            # derived from the packet bandwidth (opus_decoder.c:446-453)
+            celt.end = _CELT_END_BAND[int(bw)]
             celt.vbr = False
             celt.bitrate = -1
             if prefill is not None:
@@ -664,7 +755,8 @@ class Encoder:
         finally:
             (celt.start, celt.end, celt.vbr, celt.constrained_vbr,
              celt.bitrate, celt.disable_pf, celt.force_intra) = saved
-            celt.reset()
+            if reset_after:
+                celt.reset()
         return frame, rng
 
     def _silk_prefill(self, qms: int, bps: int, bw: Bandwidth):
@@ -840,17 +932,19 @@ class Encoder:
         if redundancy and celt_to_silk:
             # CELT->SILK: redundant frame continues the old CELT state
             red_data, redundant_rng = self._encode_redundant_celt(
-                frames[:, :n5], red_bytes)
+                frames[:, :n5], red_bytes, bw)
         # CELT half: bands 17+ (opus_encoder.c:2253-2264)
         celt = self.celt
         old = (celt.start, celt.end, celt.vbr, celt.constrained_vbr,
                celt.bitrate)
+        switched = False
         try:
             celt.start = 17
             celt.end = 21 if bw == Bandwidth.FULLBAND else 19
             celt.vbr = self._vbr
             celt.constrained_vbr = False
             celt.bitrate = max(bps - silk_rate, 4000)
+            switched = self._celt_mode_switch_prefill(CodecMode.HYBRID)
             celt.encode_with_ec(frames, n,
                                 max(2, nbytes - (red_bytes
                                                  if redundancy else 0)),
@@ -858,16 +952,24 @@ class Encoder:
         finally:
             (celt.start, celt.end, celt.vbr, celt.constrained_vbr,
              celt.bitrate) = old
+            if switched:
+                celt.disable_pf = self._prediction_disabled
+                celt.force_intra = False
         if redundancy and not celt_to_silk:
-            # SILK->CELT: 2.5 ms prefill + 5 ms redundant frame
+            # SILK->CELT: 2.5 ms prefill + 5 ms redundant frame; the
+            # warmed CELT state carries into the next CELT-only frame
             red_data, redundant_rng = self._encode_redundant_celt(
-                frames[:, -n5:], red_bytes,
-                prefill=frames[:, -(n5 + n25):-n5], reset_first=True)
+                frames[:, -n5:], red_bytes, bw,
+                prefill=frames[:, -(n5 + n25):-n5], reset_first=True,
+                reset_after=False)
         self.final_range = (enc.rng ^ redundant_rng) & 0xFFFFFFFF
         framerate = 4000 // qms
         toc = pkt.gen_toc(CodecMode.HYBRID, framerate, bw, 1)
-        out_bytes = (enc.tell() + 7) // 8
-        out = bytes([toc]) + enc.data()[:out_bytes] + red_data
+        # the main part is exactly the CELT-shrunk coder buffer — the
+        # decoder recomputes the allocation from this byte count, and the
+        # raw-bit tail is addressed from its end (opus_encoder.c:2345:
+        # ret = nb_compr_bytes after celt's internal VBR shrink)
+        out = bytes([toc]) + enc.data() + red_data
         if len(out) > max_bytes:
             raise OpusError.buffer_too_small()
         self._in_dtx = False
@@ -907,6 +1009,7 @@ class Encoder:
             self._silk = SilkEncoder()
         if stream_channels is None:
             stream_channels = self.channels
+        celt_frames = frames    # full-width pcm for redundant CELT frames
         if self.channels == 2 and stream_channels == 1:
             # downmix decision from _decide; SILK's own toMono smoothing
             # is bypassed in favour of a direct mid downmix
@@ -958,11 +1061,12 @@ class Encoder:
             n25 = self.sample_rate // 400
             if celt_to_silk:
                 red_data, redundant_rng = self._encode_redundant_celt(
-                    frames[:, :n5], red_bytes)
+                    celt_frames[:, :n5], red_bytes, bw)
             else:
                 red_data, redundant_rng = self._encode_redundant_celt(
-                    frames[:, -n5:], red_bytes,
-                    prefill=frames[:, -(n5 + n25):-n5], reset_first=True)
+                    celt_frames[:, -n5:], red_bytes, bw,
+                    prefill=celt_frames[:, -(n5 + n25):-n5],
+                    reset_first=True, reset_after=False)
         enc.done()
         self.final_range = (enc.rng ^ redundant_rng) & 0xFFFFFFFF
         nbytes = (enc.tell() + 7) // 8
@@ -1002,6 +1106,13 @@ class Encoder:
 
     def vbr_constraint(self) -> bool:
         return self._vbr_constraint
+
+    def set_expert_frame_duration(self, dur):
+        """OPUS_SET_EXPERT_FRAME_DURATION (encoder.rs:444-465)."""
+        self._variable_duration = ExpertFrameDuration(dur)
+
+    def expert_frame_duration(self) -> ExpertFrameDuration:
+        return self._variable_duration
 
     def set_complexity(self, c: int):
         if not 0 <= c <= 10:

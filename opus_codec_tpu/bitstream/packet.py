@@ -14,6 +14,8 @@ from __future__ import annotations
 from dataclasses import dataclass
 from typing import List, Optional, Tuple
 
+import numpy as np
+
 from ..errors import OpusError
 from ..types import Bandwidth, CodecMode
 
@@ -369,6 +371,67 @@ def packet_unpad(packet: bytes) -> bytes:
     """Remove padding (opus_packet_unpad semantics)."""
     parsed = parse_packet(packet)
     return build_packet(parsed.toc, parsed.frames)
+
+
+def multistream_packet_pad(packet: bytes, new_len: int,
+                           nb_streams: int) -> bytes:
+    """opus_multistream_packet_pad (packet.rs:258-271,
+    repacketizer.c:387-415): pad only the last stream's sub-packet."""
+    if len(packet) < 1 or nb_streams < 1:
+        raise OpusError.bad_arg()
+    if new_len < len(packet):
+        raise OpusError.bad_arg("new_len smaller than packet")
+    if new_len == len(packet):
+        return packet
+    pos = 0
+    for _ in range(nb_streams - 1):
+        if pos >= len(packet):
+            raise OpusError.invalid_packet()
+        parsed = parse_packet(packet[pos:], self_delimited=True)
+        pos += parsed.packet_offset
+    last = packet[pos:]
+    return packet[:pos] + packet_pad(last, len(last)
+                                     + (new_len - len(packet)))
+
+
+def multistream_packet_unpad(packet: bytes, nb_streams: int) -> bytes:
+    """opus_multistream_packet_unpad (packet.rs:273-287,
+    repacketizer.c:418-464): strip padding from every sub-packet."""
+    if len(packet) < 1 or nb_streams < 1:
+        raise OpusError.bad_arg()
+    pos = 0
+    out = bytearray()
+    for s in range(nb_streams):
+        if pos >= len(packet):
+            raise OpusError.invalid_packet()
+        self_del = s != nb_streams - 1
+        parsed = parse_packet(packet[pos:], self_delimited=self_del)
+        rebuilt = build_packet(parsed.toc, parsed.frames)
+        if self_del:
+            rebuilt = build_self_delimited(rebuilt)
+        out += rebuilt
+        pos += parsed.packet_offset
+    return bytes(out)
+
+
+def soft_clip(pcm: np.ndarray, channels: int,
+              softclip_mem: np.ndarray) -> None:
+    """opus_pcm_soft_clip exposed as a packet util (packet.rs:123-155).
+
+    ``pcm``: interleaved float array of frame_size*channels samples
+    (or [N, C]), clipped smoothly to [-1, 1] in place; ``softclip_mem``
+    carries one float of state per channel across calls."""
+    from ..opus.decoder import pcm_soft_clip
+    pcm = np.asarray(pcm)
+    if channels < 1 or len(softclip_mem) < channels:
+        raise OpusError.bad_arg()
+    if pcm.ndim == 1:
+        if len(pcm) % channels:
+            raise OpusError.bad_arg()
+        view = pcm.reshape(-1, channels)
+    else:
+        view = pcm
+    pcm_soft_clip(view, channels, softclip_mem)
 
 
 def build_self_delimited(packet: bytes) -> bytes:

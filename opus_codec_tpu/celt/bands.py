@@ -8,9 +8,8 @@ exp_rotation :74).
 This is the host-lane scalar reference implementation, shared by encoder and
 decoder exactly as in the C (one code path, ``encode`` flag). The integer
 decisions (qn, itheta coding, bit rebalancing, pulse counts) are exact; the
-float vector math runs in float64. The batched TPU synthesis path lifts the
-vector stages (rotation, normalisation, folding) while replaying the same
-integer plan — this module is its ground truth.
+float vector math runs in float64. This module is the ground truth for
+the batched device paths.
 """
 
 from __future__ import annotations

@@ -861,6 +861,8 @@ class SilkEncoder:
         self.nBitsUsedLBRR = 0
         self.nBitsExceeded = 0
         self.prev_decode_only_middle = 0
+        self.allowBandwidthSwitch = 0
+        self.timeSinceSwitchAllowed_ms = 0
 
     def _control(self, ch, ctl: EncControl, fs_khz: int):
         ch.useDTX = int(ctl.useDTX)
@@ -941,7 +943,8 @@ class SilkEncoder:
         fs_khz, switch_ready = control_audio_bandwidth(
             self.ch, ctl.desiredInternalSampleRate, ctl.API_sampleRate,
             ctl.minInternalSampleRate, ctl.maxInternalSampleRate,
-            getattr(self, "_pending_switch", False))
+            getattr(self, "_pending_switch", False),
+            allow_switch=bool(getattr(self, "allowBandwidthSwitch", 0)))
         self._pending_switch = switch_ready
         if fs_khz != self.ch.fs_kHz and self.ch.fs_kHz:
             self.ch.sLP.saved_fs_kHz = self.ch.fs_kHz
@@ -1060,12 +1063,24 @@ class SilkEncoder:
             flags = (flags << 1) | int(ch.LBRR_flag)
         enc.patch_initial_bits(flags, (n_frames + 1) * n_channels)
 
-        if all(c.inDTX for c in chans):
-            return 0
-        nbytes = (enc.tell() + 7) // 8
+        dtx = all(c.inDTX for c in chans)
+        nbytes = 0 if dtx else (enc.tell() + 7) // 8
         self.nBitsExceeded += nbytes * 8
         self.nBitsExceeded -= ctl.bitRate * ctl.payloadSize_ms // 1000
         self.nBitsExceeded = min(max(self.nBitsExceeded, 0), 10000)
+        # allow bandwidth switching only during speech inactivity, with a
+        # threshold that relaxes over time (enc_API.c:548-557)
+        thr_q8 = SMLAWB(SPEECH_ACTIVITY_DTX_THRES_Q8,
+                        FIX_CONST((1 - 0.05) / 5000, 16 + 8),
+                        self.timeSinceSwitchAllowed_ms)
+        if self.ch.speech_activity_Q8 < thr_q8:
+            self.allowBandwidthSwitch = 1
+            self.timeSinceSwitchAllowed_ms = 0
+        else:
+            self.allowBandwidthSwitch = 0
+            self.timeSinceSwitchAllowed_ms += ctl.payloadSize_ms
+        if dtx:
+            return 0
         return enc.tell() - nbits_total_start
 
     def _resample(self, ch, seg, which=1):

@@ -96,8 +96,13 @@ def lp_variable_cutoff(psLP: SilkLPState, frame: np.ndarray) -> None:
 
 def control_audio_bandwidth(ch, desired_hz: int, api_hz: int,
                             min_hz: int, max_hz: int,
-                            opus_can_switch: bool):
+                            opus_can_switch: bool,
+                            allow_switch: bool = True):
     """silk_control_audio_bandwidth (control_audio_bandwidth.c:36-131).
+
+    ``allow_switch`` mirrors psEncC->allow_bandwidth_switch
+    (control_audio_bandwidth.c:68): internal-rate transitions and the LP
+    cutoff ramp may only start during speech inactivity.
 
     Returns (fs_kHz, switch_ready)."""
     orig_khz = ch.fs_kHz if ch.fs_kHz else ch.sLP.saved_fs_kHz
@@ -113,7 +118,9 @@ def control_audio_bandwidth(ch, desired_hz: int, api_hz: int,
     else:
         if ch.sLP.transition_frame_no >= TRANSITION_FRAMES:
             ch.sLP.mode = 0
-        if orig_khz * 1000 > desired_hz:
+        if not (allow_switch or opus_can_switch):
+            pass     # switching gated on speech inactivity
+        elif orig_khz * 1000 > desired_hz:
             # switch down
             if ch.sLP.mode == 0:
                 ch.sLP.transition_frame_no = TRANSITION_FRAMES

@@ -157,3 +157,54 @@ def test_encode_validation():
 
 def test_version():
     assert oc.version() == "1.5.2"
+
+
+def test_expert_frame_duration_ctl():
+    enc = oc.Encoder(48000, 1, oc.Application.AUDIO)
+    assert enc.expert_frame_duration() == oc.ExpertFrameDuration.ARG
+    enc.set_expert_frame_duration(oc.ExpertFrameDuration.MS20)
+    assert enc.expert_frame_duration() == oc.ExpertFrameDuration.MS20
+    with pytest.raises(ValueError):
+        enc.set_expert_frame_duration(1234)
+
+
+def test_expert_frame_duration_splits_packet():
+    """A 60 ms input with a 20 ms expert duration yields one packet of
+    three 20 ms frames (opus_encoder.c frame_size_select + the
+    repacketizer loop)."""
+    enc = oc.Encoder(48000, 1, oc.Application.AUDIO)
+    enc.set_bitrate(oc.Bitrate(64000))
+    enc.set_expert_frame_duration(oc.ExpertFrameDuration.MS20)
+    t = np.arange(2880) / 48000.0
+    pcm = (0.5 * np.sin(2 * np.pi * 440 * t)).astype(np.float32)
+    out = enc.encode_float(pcm)
+    assert oc.packet.packet_nb_frames(out) == 3
+    assert oc.packet.packet_nb_samples(out, 48000) == 2880
+    dec = oc.Decoder(48000, 1)
+    pcm_out = dec.decode_float(out, 2880)
+    assert pcm_out.shape[0] == 2880 * 1
+
+
+def test_packet_soft_clip():
+    mem = np.zeros(1)
+    x = np.linspace(-1.4, 1.4, 480).astype(np.float32)
+    oc.packet.soft_clip(x, 1, mem)
+    assert np.all(np.abs(x) <= 1.0 + 1e-6)
+    # monotonicity preserved in the clipped region's interior
+    assert x[0] < 0 < x[-1]
+
+
+def test_multistream_packet_pad_unpad():
+    enc = oc.Encoder(48000, 1, oc.Application.AUDIO)
+    enc.set_bitrate(oc.Bitrate(32000))
+    t = np.arange(960) / 48000.0
+    pcm = (0.4 * np.sin(2 * np.pi * 300 * t)).astype(np.float32)
+    p1 = enc.encode_float(pcm)
+    p2 = enc.encode_float(pcm)
+    ms = oc.packet.build_self_delimited(p1) + p2
+    padded = oc.packet.multistream_packet_pad(ms, len(ms) + 64, 2)
+    assert len(padded) == len(ms) + 64
+    unpadded = oc.packet.multistream_packet_unpad(padded, 2)
+    assert unpadded == ms
+    with pytest.raises(oc.OpusError):
+        oc.packet.multistream_packet_pad(ms, len(ms) - 1, 2)

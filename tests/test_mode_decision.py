@@ -2,6 +2,9 @@
 (opus_encoder.c:1057-1553 engine driven by the tonality analysis)."""
 
 import numpy as np
+import pytest
+
+import opus_codec_tpu as oc
 
 from opus_codec_tpu import Decoder, Encoder
 from opus_codec_tpu.types import Application, Bandwidth, Bitrate, Signal
@@ -263,3 +266,67 @@ def test_mode_switch_redundancy_frames():
     # the switch frames are larger (carry the redundant CELT frame)
     sw1 = next(i for i in range(58, 70) if modes[i] == 'V')
     assert sizes[sw1] > np.mean(sizes[62:70]) * 1.2
+
+
+# ---- mode-switch streams vs the reference decoder --------------------------
+
+import os
+import struct
+import subprocess
+
+_ORACLE = os.path.join(os.path.dirname(__file__), "..", "tools", "oracle",
+                       "build")
+_DEMO = os.path.join(_ORACLE, "opus_demo")
+
+
+@pytest.mark.skipif(not os.path.exists(_DEMO),
+                    reason="reference opus_demo oracle not built")
+@pytest.mark.parametrize("channels", [1, 2])
+def test_mode_switch_stream_reference_decode(channels):
+    """Streams that switch CELT<->SILK/hybrid (with redundancy frames)
+    must decode cleanly in the reference decoder with zero range-coder
+    mismatches, and our decoder must reproduce every final_range
+    (opus_encoder.c:2237-2341 redundancy, :2289-2297 prefill)."""
+    enc = oc.Encoder(48000, channels, oc.Application.AUDIO)
+    enc.set_bitrate(oc.Bitrate(26000 * channels))
+    enc.set_complexity(2)
+    n = 960
+    packets = []
+    nswitch = 0
+    prev_celt = None
+    for i in range(30):
+        t = (np.arange(n) + i * n) / 48000.0
+        if (i // 6) % 2 == 0:
+            enc.set_signal(oc.Signal.MUSIC)
+            seg = 0.4 * np.sin(2 * np.pi * 440 * t) \
+                + 0.3 * np.sin(2 * np.pi * 1237 * t)
+        else:
+            enc.set_signal(oc.Signal.VOICE)
+            seg = 0.3 * np.sin(2 * np.pi * 220 * t) \
+                * (0.5 + 0.5 * np.sin(2 * np.pi * 3 * t))
+        pcm = np.tile(seg.astype(np.float32), (channels, 1))
+        if channels == 2:
+            pcm[1] *= 0.8
+        out = enc.encode_float(pcm.T.reshape(-1) if channels == 2
+                               else pcm[0])
+        is_celt = out[0] >> 3 >= 16
+        if prev_celt is not None and is_celt != prev_celt:
+            nswitch += 1
+        prev_celt = is_celt
+        packets.append((out, enc.final_range))
+    assert nswitch >= 2, "stream did not provoke mode switches"
+    bit = b"".join(struct.pack(">II", len(p), fr) + p
+                   for p, fr in packets)
+    bitf = f"/tmp/modeswitch_{channels}.bit"
+    with open(bitf, "wb") as f:
+        f.write(bit)
+    r = subprocess.run(
+        [_DEMO, "-d", "48000", str(channels), bitf,
+         f"/tmp/modeswitch_{channels}.dec"],
+        capture_output=True, text=True)
+    assert r.returncode == 0, r.stderr
+    assert "error" not in (r.stdout + r.stderr).lower()
+    dec = oc.Decoder(48000, channels)
+    for j, (p, fr) in enumerate(packets):
+        dec.decode_float(p, 5760)
+        assert dec.get_final_range() == fr or fr == 0, f"packet {j}"
