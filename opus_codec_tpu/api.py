@@ -227,6 +227,9 @@ class Encoder:
         elif mode == CodecMode.HYBRID:
             out = self._encode_hybrid(frames, qms, bps, max_bytes, bw,
                                       red)
+        elif qms > 240:
+            out = self._encode_silk_long(frames, qms, bps, max_bytes, bw,
+                                         stream_ch, red, to_celt)
         else:
             out = self._encode_silk(frames, qms, bps, max_bytes, bw,
                                     stream_ch, red)
@@ -1074,6 +1077,32 @@ class Encoder:
         if len(out) > max_bytes:
             raise OpusError.buffer_too_small()
         return out
+
+    def _encode_silk_long(self, frames: np.ndarray, qms: int, bps: int,
+                          max_bytes: int, bw: Bandwidth, stream_ch: int,
+                          red, to_celt: bool) -> bytes:
+        """SILK-only frames beyond SILK's native 60 ms packet limit:
+        80 ms -> 2x40, 120 ms -> 2x60, 100 ms -> 5x20, merged with the
+        repacketizer (opus_encoder.c:1566-1578).  Redundancy rides the
+        first sub-frame (celt_to_silk) or the last one (to_celt),
+        mirroring the frame_redundancy gate in the reference loop."""
+        sub = {320: 160, 400: 80, 480: 240}[qms]
+        nbf = qms // sub
+        nsub = frames.shape[1] // nbf
+        redundancy, celt_to_silk, red_bytes = red
+        max_header = 3 if nbf == 2 else 2 + (nbf - 1) * 2
+        per = max(3, (max_bytes - max_header) // nbf)
+        rp = Repacketizer()
+        for i in range(nbf):
+            fr = redundancy and (
+                (to_celt and i == nbf - 1)
+                or (not to_celt and celt_to_silk and i == 0))
+            sub_red = (True, celt_to_silk, red_bytes) if fr \
+                else (False, False, 0)
+            rp.cat(self._encode_silk(frames[:, i * nsub:(i + 1) * nsub],
+                                     sub, bps, per, bw, stream_ch,
+                                     sub_red))
+        return rp.out(max_bytes)
 
     def encode(self, pcm_i16: np.ndarray, max_bytes: int = 4000) -> bytes:
         """i16 input API (encoder.rs:80-126 validation semantics)."""

@@ -42,7 +42,8 @@ from .resampler import Resampler
 from .sigproc import (LSHIFT_SAT32, SMLAWB, SMULBB, SMULWB, lin2log,
                       log2lin)
 from .vad import VadState
-from .decoder import gains_dequant
+from .decoder import (MAX_DELTA_GAIN_QUANT, MIN_DELTA_GAIN_QUANT,
+                      gains_dequant)
 
 TYPE_NO_VOICE_ACTIVITY = 0
 TYPE_UNVOICED = 1
@@ -607,15 +608,29 @@ class SilkEncoderChannel:
         ind_lbrr = copy.deepcopy(self.indices)
         self.indices_LBRR[self.nFramesEncoded] = ind_lbrr
         temp_gains = ctrl.Gains.copy()
-        if self.nFramesEncoded == 0 \
-                or self.LBRR_flags[self.nFramesEncoded - 1] == 0:
+        # The bitstream codes LBRR GainsIndices[0] conditionally (delta,
+        # 41 symbols) iff the previous frame in the packet was LBRR-coded
+        # (enc_API.c:376-384; decoder mirror).  The reference passes the
+        # *regular* frame's condCoding here instead, which can disagree
+        # for the side channel's second frame and feed a full-range index
+        # (up to 63) to the 41-entry delta table (a silent overread in C,
+        # encode_indices.c:73 silk_assert).  We derive the conditional
+        # from the header rule so the encoded index is always valid and
+        # the encoder's LBRR gains stay in sync with every decoder.
+        header_cond = self.nFramesEncoded > 0 \
+            and self.LBRR_flags[self.nFramesEncoded - 1] == 1
+        if not header_cond:
             self.LBRRprevLastGainIndex = self.sShape_LastGainIndex
             ind_lbrr.GainsIndices[0] = min(
                 ind_lbrr.GainsIndices[0] + self.LBRR_GainIncreases,
                 N_LEVELS_QGAIN - 1)
+        else:
+            ind_lbrr.GainsIndices[0] = min(
+                ind_lbrr.GainsIndices[0],
+                MAX_DELTA_GAIN_QUANT - MIN_DELTA_GAIN_QUANT)
         gains_q16, self.LBRRprevLastGainIndex = gains_dequant(
             ind_lbrr.GainsIndices, self.LBRRprevLastGainIndex,
-            cond_coding == CODE_CONDITIONALLY, self.nb_subfr)
+            header_cond, self.nb_subfr)
         ctrl.Gains = np.array(gains_q16) / 65536.0
         self.pulses_LBRR[self.nFramesEncoded] = self.run_nsq(
             ctrl, ind_lbrr, nsq_lbrr, x_start)
