@@ -1,0 +1,101 @@
+"""Batched public API: many-stream encode on device, packing on host.
+
+This is the TPU-native entry point the reference has no analogue for
+(SURVEY §2.6: the reference scales by thread-per-stream,
+tests/multhithread.rs; here the unit of work is a stream *batch*): the
+device computes every symbol for B streams in one jitted program
+(celt.batch_encoder) and the native host lane (runtime/ec_lane.c,
+OpenMP over streams) turns the symbol plans into packets, pipelined
+behind the next frame's device step.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+from .bitstream import packet as pkt
+from .errors import OpusError
+from .types import Bandwidth, CodecMode
+
+__all__ = ["CeltBatchEncoder"]
+
+
+class CeltBatchEncoder:
+    """CELT-only batched encoder: B concurrent 48 kHz mono streams,
+    20 ms frames, CBR (the flagship batched pipeline; mirrors the
+    scalar Encoder's CELT mode at complexity 0).
+
+    encode(pcm [B, 960]) -> (packets: list[bytes], final_ranges).
+    """
+
+    def __init__(self, batch: int, bitrate: int = 64000,
+                 sample_rate: int = 48000, exact: bool = False):
+        import jax.numpy as jnp
+
+        from .celt import batch_encoder as be
+        if sample_rate != 48000:
+            raise OpusError.bad_arg("batched path is 48 kHz")
+        self._be = be
+        self._jnp = jnp
+        self.batch = batch
+        self.bitrate = bitrate
+        self.frame_size = 960
+        self.nbytes = be.cbr_bytes(bitrate, self.frame_size, sample_rate,
+                                   1275)
+        self.exact = exact
+        dtype = jnp.float64 if exact else jnp.float32
+        self.state = be.init_stream_state(batch, dtype=dtype)
+        self._nbytes_dev = jnp.full((batch,), self.nbytes, jnp.int32)
+        self._bitrate_dev = jnp.full((batch,), bitrate, jnp.int32)
+        self._toc = pkt.gen_toc(CodecMode.CELT_ONLY, 50,
+                                Bandwidth.FULLBAND, 1)
+        self.final_ranges = np.zeros(batch, np.uint64)
+
+    def encode_step_device(self, pcm):
+        """Device half only: returns (plan coder, updates state).
+        ``pcm``: [B, 960] float array (jnp or np)."""
+        pcm = self._jnp.asarray(pcm)
+        c, self.state = self._be.celt_encode_batch_plan_jit(
+            pcm, self.state, self._nbytes_dev, self._bitrate_dev,
+            exact=self.exact)
+        return c
+
+    def pack(self, c) -> Tuple[List[bytes], np.ndarray]:
+        """Host half: native range coding of the symbol plans."""
+        from . import runtime as rt
+        ops = np.asarray(c.ops)
+        counts = np.full(self.batch, ops.shape[1], np.int32)
+        sizes = np.full(self.batch, self.nbytes, np.int32)
+        if rt.native_available():
+            out, rngs = rt.encode_plan_batch_strided(ops, counts, sizes)
+            packets = [bytes([self._toc]) + out[b].tobytes()
+                       for b in range(self.batch)]
+        else:                      # scalar fallback lane
+            from .bitstream.range_coder import RangeEncoder
+            packets = []
+            rngs = np.zeros(self.batch, np.uint32)
+            for b in range(self.batch):
+                enc = RangeEncoder(self.nbytes)
+                for row in ops[b]:
+                    kind, a, _bv, cv = (int(v) for v in row)
+                    if kind < 0:
+                        continue
+                    if kind == 0:
+                        enc.encode(a, int(row[2]), cv)
+                    elif kind == 1:
+                        enc.encode_bin(a, int(row[2]), cv)
+                    elif kind == 2:
+                        enc.enc_bit_logp(a, cv)
+                    elif kind == 5:
+                        enc.enc_bits(a, cv)
+                enc.done()
+                rngs[b] = enc.rng
+                packets.append(bytes([self._toc]) + enc.data())
+        self.final_ranges = rngs
+        return packets, rngs
+
+    def encode(self, pcm) -> List[bytes]:
+        """PCM in, packets out (one device step + host packing)."""
+        return self.pack(self.encode_step_device(pcm))[0]

@@ -49,19 +49,30 @@ _NMIN = 16
 
 
 class PlanCoder(NamedTuple):
-    """Per-stream coder model + plan buffer (a pytree of [B,...] arrays)."""
+    """Per-stream coder model + plan buffer (a pytree of [B,...] arrays).
+
+    Plan rows are written at *static* slots (one per emission call site,
+    assigned at trace time) — masked-off rows carry kind == -1 (NOP) and
+    are skipped by every plan executor.  This keeps emission free of
+    gather/scatter and the compiled graph small; ``pos`` counts valid
+    rows (for diagnostics)."""
     rng: jnp.ndarray           # [B] uint32
     nbits_total: jnp.ndarray   # [B] int32
-    pos: jnp.ndarray           # [B] int32 — next free plan row
-    ops: jnp.ndarray           # [B, MAXOPS, 4] int32
+    pos: jnp.ndarray           # [B] int32 — number of valid rows
+    ops: jnp.ndarray           # [B, MAXOPS, 4] int32, kind -1 = NOP
+
+
+_SLOT = [0]
 
 
 def plan_init(B: int, max_ops: int) -> PlanCoder:
+    _SLOT[0] = 0
+    ops = jnp.full((B, max_ops, 4), -1, jnp.int32)
     return PlanCoder(
         rng=jnp.full((B,), CODE_TOP, jnp.uint32),
         nbits_total=jnp.full((B,), CODE_BITS + 1, jnp.int32),
         pos=jnp.zeros((B,), jnp.int32),
-        ops=jnp.zeros((B, max_ops, 4), jnp.int32),
+        ops=ops,
     )
 
 
@@ -87,7 +98,8 @@ def tell_frac(c: PlanCoder) -> jnp.ndarray:
     l = ec_ilog(c.rng)
     r = (c.rng >> (l - 16).astype(jnp.uint32)).astype(jnp.int32)
     b = (r >> 12) - 8
-    b = b + (r > _TELL_TBL[jnp.clip(b, 0, 7)]).astype(jnp.int32)
+    tbl = jnp.asarray(_TELL_TBL)
+    b = b + (r > tbl[jnp.clip(b, 0, 7)]).astype(jnp.int32)
     return nbits - ((l << 3) + b)
 
 
@@ -100,20 +112,21 @@ def _normalize(rng, nbt):
 
 
 def _emit(c: PlanCoder, mask, kind, a, b, d) -> PlanCoder:
-    """Append one plan row where ``mask``; advance the cursor."""
+    """Write one plan row at this call site's static slot (NOP where
+    the mask is off)."""
     B = c.pos.shape[0]
-    bi = jnp.arange(B)
-    zeros = jnp.zeros((B,), jnp.int32)
+    slot = _SLOT[0]
+    _SLOT[0] = slot + 1
+    if slot >= c.ops.shape[1]:
+        raise AssertionError("plan buffer too small; raise MAX_OPS")
     row = jnp.stack([
-        jnp.where(mask, jnp.broadcast_to(jnp.asarray(kind, jnp.int32),
-                                         (B,)), zeros),
-        jnp.where(mask, jnp.asarray(a, jnp.int32), zeros),
-        jnp.where(mask, jnp.asarray(b, jnp.int32), zeros),
-        jnp.where(mask, jnp.asarray(d, jnp.int32), zeros),
+        jnp.where(mask, jnp.asarray(kind, jnp.int32),
+                  jnp.int32(-1)).astype(jnp.int32),
+        jnp.broadcast_to(jnp.asarray(a), (B,)).astype(jnp.int32),
+        jnp.broadcast_to(jnp.asarray(b), (B,)).astype(jnp.int32),
+        jnp.broadcast_to(jnp.asarray(d), (B,)).astype(jnp.int32),
     ], axis=-1)
-    old = c.ops[bi, c.pos, :]
-    new = jnp.where(mask[:, None], row, old)
-    ops = c.ops.at[bi, c.pos, :].set(new)
+    ops = c.ops.at[:, slot, :].set(row)
     pos = c.pos + mask.astype(jnp.int32)
     return c._replace(pos=pos, ops=ops)
 
@@ -184,19 +197,24 @@ def bits(c: PlanCoder, mask, val, nbits) -> PlanCoder:
 
 
 def uint(c: PlanCoder, mask, fl, ft) -> PlanCoder:
-    """ec_enc_uint (entenc.c:179): uniform integer in [0, ft), ft > 1."""
-    fl = jnp.asarray(fl, jnp.int32)
-    ft = jnp.asarray(ft, jnp.int32) - 1
-    ftb = ec_ilog(ft.astype(jnp.uint32))
+    """ec_enc_uint (entenc.c:179): uniform integer in [0, ft), ft > 1.
+
+    ``fl``/``ft`` are treated as uint32 (PVQ codeword counts V(N,K) use
+    the full 32-bit range); the emitted plan values are always small.
+    """
+    fl = jnp.asarray(fl).astype(jnp.uint32)
+    ft = jnp.asarray(ft).astype(jnp.uint32) - np.uint32(1)
+    ftb = ec_ilog(ft)
     split = ftb > UINT_BITS
-    ftb_lo = jnp.where(split, ftb - UINT_BITS, 0)
-    ftop = (ft >> ftb_lo) + 1
+    ftb_lo = jnp.where(split, ftb - UINT_BITS, 0).astype(jnp.uint32)
+    ftop = (ft >> ftb_lo) + np.uint32(1)
     fltop = fl >> ftb_lo
     # top symbol: [fltop, fltop+1) of ftop (or the whole value when small)
-    a = jnp.where(split, fltop, fl)
-    t = jnp.where(split, ftop, ft + 1)
+    a = jnp.where(split, fltop, fl).astype(jnp.int32)
+    t = jnp.where(split, ftop, ft + np.uint32(1)).astype(jnp.int32)
     c = encode(c, mask, a, a + 1, t)
-    c = bits(c, mask & split, fl & ((jnp.int32(1) << ftb_lo) - 1), ftb_lo)
+    lsbs = (fl & ((np.uint32(1) << ftb_lo) - np.uint32(1))).astype(jnp.int32)
+    c = bits(c, mask & split, lsbs, ftb_lo.astype(jnp.int32))
     return c
 
 
@@ -221,12 +239,17 @@ def laplace(c: PlanCoder, mask, value, fs0, decay) -> PlanCoder:
 
     # walk the geometric tail:  while fs > 0 and i < val
     i = jnp.ones_like(val)
-    for _ in range(24):
+
+    def _walk(_, st):
+        fl, fs, i = st
         go = nz & (fs > 0) & (i < val)
         fs2 = fs * 2
         fl = jnp.where(go, fl + fs2 + 2 * _MINP, fl)
         fs = jnp.where(go, (fs2 * decay) >> 15, fs)
-        i = i + go.astype(jnp.int32)
+        return fl, fs, i + go.astype(jnp.int32)
+
+    import jax
+    fl, fs, i = jax.lax.fori_loop(0, 24, _walk, (fl, fs, i))
 
     ran_out = nz & (fs == 0)
     ndi_max = (32768 - fl + _MINP - 1) >> _LOG_MINP

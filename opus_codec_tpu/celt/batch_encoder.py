@@ -1,0 +1,1235 @@
+"""Batched CELT encoder — the device symbol-planning pass.
+
+This is the core of the TPU-native design (SURVEY §7): for a batch of
+streams ``[B, ...]`` the whole CELT encoder — coarse/fine energy
+quantization, tf, dynalloc, allocation, PVQ search, CWRS indexing —
+runs as one jitted jnp program, tracking the range coder exactly
+(``batch_coder``) and emitting per-stream symbol plans that the native
+host lane (``runtime/ec_lane.c``) packs into bytes.
+
+Behavioural parity: /root/reference/opus/celt/celt_encoder.c:1431-2356
+(pipeline), quant_bands.c:156-426 (coarse/fine), rate.c:248-645
+(allocation), bands.c:943-1231 + vq.c:165-361 + cwrs.c:440-461 (PVQ
+tree). The scalar modules in this package are the tested ground truth;
+on a float64 backend this planner reproduces their bitstreams exactly.
+
+Scope (round 2): mono, 20 ms (LM=3), CBR, complexity-0 decision set
+(no transient/prefilter/tf-analysis/spreading — all coded as their
+low-complexity values, exactly as the scalar encoder at complexity 0).
+"""
+
+from __future__ import annotations
+
+import math
+from functools import lru_cache
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import batch_coder as bc
+from .batch_coder import PlanCoder
+from .cwrs import U as U_exact
+from .modes import (BETA_COEF, BETA_INTRA, E_PROB_MODEL, EMEANS,
+                    LOG2_FRAC_TABLE, MAX_FINE_BITS, PRED_COEF,
+                    QTHETA_OFFSET, SMALL_ENERGY_ICDF, SPREAD_ICDF,
+                    TRIM_ICDF, get_pulses, standard_mode)
+
+BITRES = 3
+ALLOC_STEPS = 6
+FINE_OFFSET = 21
+EPSILON = 1e-15
+MAX_OPS = 4096
+
+_i32 = jnp.int32
+
+
+class Tables(NamedTuple):
+    """Static mode-derived constants (host numpy, embedded in the jit)."""
+    e_bands: np.ndarray          # [nb+1]
+    log_n: np.ndarray            # [nb]
+    caps: np.ndarray             # [nb]  (LM=3, C=1)
+    alloc_vectors: np.ndarray    # [nv, nb]
+    nb_alloc_vectors: int
+    cache_index: np.ndarray
+    cache_bits: np.ndarray       # int32
+    thresh: np.ndarray           # [nb]
+    trim_coef: np.ndarray        # [nb] width*(end-j-1) factor (see below)
+    u_tab: np.ndarray            # [nmax+1, kmax+2] uint32 (sat 0xFFFFFFFF)
+    kmax_global: int
+    emeans: np.ndarray
+
+
+@lru_cache(maxsize=None)
+def make_tables(lm: int = 3, C: int = 1) -> Tables:
+    m = standard_mode()
+    nb = m.nb_ebands
+    e_bands = np.asarray(m.e_bands, np.int32)
+    caps = np.asarray(m.init_caps(lm, C), np.int32)
+    # static allocation precomputes (rate.c:534-580)
+    thresh = np.zeros(nb, np.int32)
+    widths = (e_bands[1:] - e_bands[:-1]).astype(np.int64)
+    for j in range(nb):
+        thresh[j] = max(C << BITRES, (3 * int(widths[j]) << lm << BITRES) >> 4)
+    # global K bound + U table over every reachable (N, K) node pair
+    kmax = 1
+    n = 0
+    for i in range(nb):
+        N = int(widths[i]) << lm
+        lmk = lm
+        while True:
+            row = int(m.cache_index[(lmk + 1) * nb + i])
+            maxq = int(m.cache_bits[row])
+            kmax = max(kmax, get_pulses(maxq))
+            n = max(n, N)
+            if N <= 2 or lmk == -1:
+                break
+            N >>= 1
+            lmk -= 1
+    u_tab = np.zeros((n + 2, kmax + 3), np.uint32)
+    for nn in range(n + 2):
+        for kk in range(kmax + 3):
+            v = U_exact(nn, kk)
+            u_tab[nn, kk] = v if v < (1 << 32) else 0xFFFFFFFF
+    return Tables(
+        e_bands=e_bands,
+        log_n=np.asarray(m.log_n, np.int32),
+        caps=caps,
+        alloc_vectors=np.asarray(m.alloc_vectors, np.int32),
+        nb_alloc_vectors=int(m.nb_alloc_vectors),
+        cache_index=np.asarray(m.cache_index, np.int32),
+        cache_bits=np.asarray(m.cache_bits, np.int32),
+        thresh=thresh,
+        trim_coef=widths.astype(np.int32),
+        u_tab=u_tab,
+        kmax_global=kmax,
+        emeans=np.asarray(EMEANS[:nb], np.float64),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Coarse energy (quant_bands.c:156-359, single-pass / complexity<4 form)
+
+def coarse_energy(c: PlanCoder, bandLogE, oldEBands, budget, intra,
+                  nb_available_bytes, lm: int, start: int, end: int):
+    """Single-pass quant_coarse_energy for mono [B, nb] inputs.
+
+    ``intra`` is a [B] bool.  Returns (coder, oldEBands', error).
+    All float math in the input dtype (float64 matches the scalar
+    encoder bit-for-bit)."""
+    dt = bandLogE.dtype
+    B, nb = bandLogE.shape
+    tell0 = bc.tell(c)
+    code_intra_flag = tell0 + 3 <= budget
+    intra = jnp.where(code_intra_flag, intra, False)
+    c = bc.bit_logp(c, code_intra_flag, intra.astype(_i32), 3)
+
+    max_decay = jnp.asarray(16.0, dt)
+    if end - start > 10:
+        max_decay = jnp.minimum(
+            max_decay, (0.125 * nb_available_bytes).astype(dt))
+
+    coef = jnp.where(intra, jnp.asarray(0.0, dt),
+                     jnp.asarray(PRED_COEF[lm], dt))
+    beta = jnp.where(intra, jnp.asarray(BETA_INTRA, dt),
+                     jnp.asarray(BETA_COEF[lm], dt))
+    probs = np.stack([np.asarray(E_PROB_MODEL[lm][0], np.int32),
+                      np.asarray(E_PROB_MODEL[lm][1], np.int32)])
+    probs_j = jnp.asarray(probs)        # [2, 42]
+    intra_i = intra.astype(_i32)
+
+    prev = jnp.zeros((B,), dt)
+    old = oldEBands
+    err = jnp.zeros((B, nb), dt)
+    for i in range(start, end):
+        x = bandLogE[:, i]
+        oldE = jnp.maximum(jnp.asarray(-9.0, dt), old[:, i])
+        f = x - coef * oldE - prev
+        qi = jnp.floor(0.5 + f).astype(_i32)
+        decay_bound = jnp.maximum(jnp.asarray(-28.0, dt),
+                                  old[:, i]) - max_decay
+        boost = (decay_bound - x).astype(_i32)
+        qi = jnp.where((qi < 0) & (x < decay_bound),
+                       jnp.minimum(qi + boost, 0), qi)
+        tell_i = bc.tell(c)
+        bits_left = budget - tell_i - 3 * (end - i)
+        if i != start:
+            qi = jnp.where(bits_left < 24, jnp.minimum(1, qi), qi)
+            qi = jnp.where(bits_left < 16, jnp.maximum(-1, qi), qi)
+        rem = budget - tell_i
+        pi = 2 * min(i, 20)
+        # three coding regimes by remaining budget
+        m_lap = rem >= 15
+        m_small = (~m_lap) & (rem >= 2)
+        m_one = (~m_lap) & (~m_small) & (rem >= 1)
+        m_none = rem < 1
+        fs0 = probs_j[intra_i, pi] << 7
+        decay = probs_j[intra_i, pi + 1] << 6
+        c, qi_lap = bc.laplace(c, m_lap, qi, fs0, decay)
+        qi_s = jnp.clip(qi, -1, 1)
+        c = bc.icdf(c, m_small, (2 * qi_s) ^ jnp.where(qi_s < 0, -1, 0),
+                    np.asarray(SMALL_ENERGY_ICDF, np.int32), 2)
+        qi_o = jnp.minimum(0, qi)
+        c = bc.bit_logp(c, m_one, -qi_o, 1)
+        qi = jnp.where(m_lap, qi_lap,
+                       jnp.where(m_small, qi_s,
+                                 jnp.where(m_one, qi_o, -1)))
+        q = qi.astype(dt)
+        err = err.at[:, i].set(f - q)
+        old = old.at[:, i].set(coef * oldE + prev + q)
+        prev = prev + q - beta * q
+    return c, old, err
+
+
+# ---------------------------------------------------------------------------
+# tf_encode with all-zero tf_res (celt_encoder.c:756-794, complexity<2)
+
+def tf_encode_zeros(c: PlanCoder, budget, lm: int, start: int, end: int):
+    """tf_res == 0 everywhere, isTransient == 0: codes per-band zero
+    bits (budget-gated) and never codes tf_select (the table rows are
+    equal for tf_changed == 0)."""
+    logp = 4
+    tell = bc.tell(c)
+    tf_select_rsv = jnp.asarray(lm > 0, _i32) * (tell + logp + 1 <= budget)
+    budget_eff = budget - tf_select_rsv
+    for i in range(start, end):
+        tell = bc.tell(c)
+        c = bc.bit_logp(c, tell + logp <= budget_eff, 0, logp)
+        logp = 5
+    # TF_SELECT_TABLE[lm][0] == [2] when tf_changed == 0 → no select bit
+    return c
+
+
+def spread_decision_c0(c: PlanCoder, budget):
+    """complexity==0: SPREAD_NONE, coded when it fits."""
+    c = bc.icdf(c, bc.tell(c) + 4 <= budget, 0,
+                np.asarray(SPREAD_ICDF, np.int32), 5)
+    return c
+
+
+# ---------------------------------------------------------------------------
+# dynalloc boost coding (celt_encoder.c:2017-2050)
+
+def dynalloc_coding(c: PlanCoder, offsets_steps, caps, total_bits_q3,
+                    lm: int, C: int, start: int, end: int,
+                    e_bands: np.ndarray):
+    """offsets_steps: [B, nb] int32 — boost step counts from
+    dynalloc_analysis.  Returns (coder, offsets_q3 [B, nb], tot_boost)."""
+    B = offsets_steps.shape[0]
+    dynalloc_logp = jnp.full((B,), 6, _i32)
+    total_boost = jnp.zeros((B,), _i32)
+    offsets_q3 = jnp.zeros_like(offsets_steps)
+    tf = bc.tell_frac(c)
+    for i in range(start, end):
+        width = C * int(e_bands[i + 1] - e_bands[i]) << lm
+        quanta = min(width << BITRES, max(6 << BITRES, width))
+        loop_logp = dynalloc_logp
+        boost = jnp.zeros((B,), _i32)
+        done = jnp.zeros((B,), bool)
+        nsteps = min(int(caps[i]) // quanta + 1, 34)
+        for j in range(nsteps):
+            room = tf + (loop_logp << BITRES) < total_bits_q3 - total_boost
+            active = room & (boost < int(caps[i])) & ~done
+            flag = (j < offsets_steps[:, i]).astype(_i32)
+            c = bc.bit_logp(c, active, flag, loop_logp)
+            tf = jnp.where(active, bc.tell_frac(c), tf)
+            hit = active & (flag == 1)
+            boost = boost + jnp.where(hit, quanta, 0)
+            total_boost = total_boost + jnp.where(hit, quanta, 0)
+            loop_logp = jnp.where(hit, 1, loop_logp)
+            done = done | (active & (flag == 0)) | ~active
+        coded_any = boost > 0
+        dynalloc_logp = jnp.where(
+            coded_any, jnp.maximum(2, dynalloc_logp - 1), dynalloc_logp)
+        offsets_q3 = offsets_q3.at[:, i].set(boost)
+    return c, offsets_q3, total_boost
+
+
+def trim_coding_c0(c: PlanCoder, total_bits_q3, total_boost):
+    """alloc_trim == 5 (no analysis at complexity 0)."""
+    fits = bc.tell_frac(c) + (6 << BITRES) <= total_bits_q3 - total_boost
+    c = bc.icdf(c, fits, 5, np.asarray(TRIM_ICDF, np.int32), 7)
+    return c, jnp.full((c.pos.shape[0],), 5, _i32)
+
+
+# ---------------------------------------------------------------------------
+# Allocation (rate.c:248-645), mono
+
+def compute_allocation_batch(c: PlanCoder, t: Tables, offsets_q3, trim,
+                             total, lm: int, start: int, end: int,
+                             prev_coded, signal_bandwidth):
+    """Vectorized clt_compute_allocation for C=1.
+
+    offsets_q3/total/trim/prev_coded/signal_bandwidth: [B] or [B, nb].
+    Returns (coder, pulses [B,nb], ebits [B,nb], fine_priority [B,nb],
+    coded_bands [B], balance [B])."""
+    C = 1
+    nb = len(t.e_bands) - 1
+    B = total.shape[0]
+    e_bands = t.e_bands
+    widths = (e_bands[1:] - e_bands[:-1]).astype(np.int32)
+    caps = jnp.asarray(t.caps)
+    thresh = jnp.asarray(t.thresh)
+    total = jnp.maximum(total, 0)
+    logM = lm << BITRES
+    alloc_floor = C << BITRES
+    skip_rsv = jnp.where(total >= (1 << BITRES), 1 << BITRES, 0)
+    total = total - skip_rsv
+    # C == 1: no intensity/dual reservations
+    intensity_rsv = jnp.zeros((B,), _i32)
+    dual_stereo_rsv = jnp.zeros((B,), _i32)
+
+    trim_offset = jnp.zeros((B, nb), _i32)
+    for j in range(start, end):
+        w = int(widths[j])
+        toff = (C * w * (trim - 5 - lm) * (end - j - 1)
+                * (1 << (lm + BITRES))) >> 6
+        if (w << lm) == 1:
+            toff = toff - alloc_floor
+        trim_offset = trim_offset.at[:, j].set(toff)
+
+    # bisection over quality vectors (rate.c:580-610)
+    lo = jnp.ones((B,), _i32)
+    hi = jnp.full((B,), t.nb_alloc_vectors - 1, _i32)
+    av = jnp.asarray(t.alloc_vectors)     # [nv, nb]
+
+    def vec_psum(mid):
+        psum = jnp.zeros((B,), _i32)
+        done = jnp.zeros((B,), bool)
+        for j in range(end - 1, start - 1, -1):
+            N = int(widths[j])
+            bitsj = (C * N * av[mid, j] << lm) >> 2
+            bitsj = jnp.where(bitsj > 0,
+                              jnp.maximum(0, bitsj + trim_offset[:, j]),
+                              bitsj)
+            bitsj = bitsj + offsets_q3[:, j]
+            take = (bitsj >= thresh[j]) | done
+            psum = psum + jnp.where(
+                take, jnp.minimum(bitsj, caps[j]),
+                jnp.where(bitsj >= alloc_floor, alloc_floor, 0))
+            done = done | take
+        return psum
+
+    for _ in range(6):      # ceil(log2(nv)) with early-exit semantics
+        go = lo <= hi
+        mid = (lo + hi) >> 1
+        psum = vec_psum(mid)
+        over = psum > total
+        hi = jnp.where(go & over, mid - 1, hi)
+        lo = jnp.where(go & ~over, mid + 1, lo)
+    hi = lo
+    lo = lo - 1
+
+    bits1 = jnp.zeros((B, nb), _i32)
+    bits2 = jnp.zeros((B, nb), _i32)
+    skip_start = jnp.full((B,), start, _i32)
+    for j in range(start, end):
+        N = int(widths[j])
+        b1 = (C * N * av[lo, j] << lm) >> 2
+        b2 = jnp.where(hi >= t.nb_alloc_vectors, caps[j],
+                       (C * N * av[jnp.minimum(hi, t.nb_alloc_vectors - 1),
+                                   j] << lm) >> 2)
+        b1 = jnp.where(b1 > 0, jnp.maximum(0, b1 + trim_offset[:, j]), b1)
+        b2 = jnp.where(b2 > 0, jnp.maximum(0, b2 + trim_offset[:, j]), b2)
+        b1 = b1 + jnp.where(lo > 0, offsets_q3[:, j], 0)
+        b2 = b2 + offsets_q3[:, j]
+        skip_start = jnp.where(offsets_q3[:, j] > 0, j, skip_start)
+        bits2 = bits2.at[:, j].set(jnp.maximum(0, b2 - b1))
+        bits1 = bits1.at[:, j].set(b1)
+
+    # interp_bits2pulses: 6-step interpolation (rate.c:261-287)
+    lo2 = jnp.zeros((B,), _i32)
+    hi2 = jnp.full((B,), 1 << ALLOC_STEPS, _i32)
+    for _ in range(ALLOC_STEPS):
+        mid = (lo2 + hi2) >> 1
+        psum = jnp.zeros((B,), _i32)
+        done = jnp.zeros((B,), bool)
+        for j in range(end - 1, start - 1, -1):
+            tmp = bits1[:, j] + ((mid * bits2[:, j]) >> ALLOC_STEPS)
+            take = (tmp >= thresh[j]) | done
+            psum = psum + jnp.where(
+                take, jnp.minimum(tmp, caps[j]),
+                jnp.where(tmp >= alloc_floor, alloc_floor, 0))
+            done = done | take
+        over = psum > total
+        hi2 = jnp.where(over, mid, hi2)
+        lo2 = jnp.where(over, lo2, mid)
+    psum = jnp.zeros((B,), _i32)
+    done = jnp.zeros((B,), bool)
+    bits = jnp.zeros((B, nb), _i32)
+    for j in range(end - 1, start - 1, -1):
+        tmp = bits1[:, j] + ((lo2 * bits2[:, j]) >> ALLOC_STEPS)
+        low = (tmp < thresh[j]) & ~done
+        tmp = jnp.where(low,
+                        jnp.where(tmp >= alloc_floor, alloc_floor, 0),
+                        tmp)
+        done = done | ~low
+        tmp = jnp.minimum(tmp, caps[j])
+        bits = bits.at[:, j].set(tmp)
+        psum = psum + tmp
+
+    # skip decisions back-to-front, coded (rate.c:314-391)
+    coded_bands = jnp.full((B,), end, _i32)
+    stopped = jnp.zeros((B,), bool)
+    ebN = jnp.asarray(e_bands.astype(np.int32))
+    for j in range(end - 1, start, -1):
+        on_j = (coded_bands - 1 == j) & ~stopped
+        hit_skip_start = on_j & (j <= skip_start)
+        total = total + jnp.where(hit_skip_start, skip_rsv, 0)
+        stopped = stopped | hit_skip_start
+        active = on_j & ~hit_skip_start
+        left = total - psum
+        denom = (ebN[coded_bands] - ebN[start])
+        percoeff = left // jnp.maximum(denom, 1)
+        left = left - denom * percoeff
+        rem = jnp.maximum(left - (ebN[j] - ebN[start]), 0)
+        band_width = ebN[coded_bands] - ebN[j]
+        band_bits = bits[:, j] + percoeff * band_width + rem
+        above = band_bits >= jnp.maximum(thresh[j],
+                                         alloc_floor + (1 << BITRES))
+        # encoder skip choice (rate.c:335-360)
+        depth_thr = jnp.where(coded_bands > 17,
+                              jnp.where(j < prev_coded, 7, 9), 0)
+        choose_stop = (coded_bands <= start + 2) | (
+            (band_bits > ((depth_thr * band_width << lm << BITRES) >> 4))
+            & (j <= signal_bandwidth))
+        code_mask = active & above
+        stop_now = code_mask & choose_stop
+        c = bc.bit_logp(c, code_mask, stop_now.astype(_i32), 1)
+        stopped = stopped | stop_now
+        cont = active & ~stop_now
+        dec = cont & above
+        psum = psum + jnp.where(dec, 1 << BITRES, 0)
+        band_bits = band_bits - jnp.where(dec, 1 << BITRES, 0)
+        psum = psum - jnp.where(cont, bits[:, j] + intensity_rsv, 0)
+        give_floor = cont & (band_bits >= alloc_floor)
+        psum = psum + jnp.where(give_floor, alloc_floor, 0)
+        bits = bits.at[:, j].set(
+            jnp.where(give_floor, alloc_floor,
+                      jnp.where(cont, 0, bits[:, j])))
+        coded_bands = coded_bands - cont.astype(_i32)
+    # streams that walked all the way down to start+? and never coded a
+    # stop bit get the skip reserve back when they hit skip_start; any
+    # stream still unstopped with coded_bands-1 <= skip_start:
+    final_hit = ~stopped & (coded_bands - 1 <= skip_start)
+    total = total + jnp.where(final_hit, skip_rsv, 0)
+
+    # final distribution (rate.c:422-433)
+    left = total - psum
+    denom = (ebN[coded_bands] - ebN[start])
+    percoeff = left // jnp.maximum(denom, 1)
+    left = left - denom * percoeff
+    for j in range(start, end):
+        inb = j < coded_bands
+        bits = bits.at[:, j].add(
+            jnp.where(inb, percoeff * int(widths[j]), 0))
+    for j in range(start, end):
+        inb = j < coded_bands
+        tmp = jnp.minimum(left, int(widths[j]))
+        bits = bits.at[:, j].add(jnp.where(inb, tmp, 0))
+        left = left - jnp.where(inb, tmp, 0)
+
+    # fine-energy split (rate.c:436-529), C == 1
+    ebits = jnp.zeros((B, nb), _i32)
+    fine_priority = jnp.zeros((B, nb), _i32)
+    balance = jnp.zeros((B,), _i32)
+    log_n = jnp.asarray(t.log_n)
+    for j in range(start, end):
+        inb = j < coded_bands
+        N0 = int(widths[j])
+        N = N0 << lm
+        bit = bits[:, j] + balance
+        if N > 1:
+            excess = jnp.maximum(bit - caps[j], 0)
+            bj = bit - excess
+            den = C * N
+            NClogN = den * (int(t.log_n[j]) + logM)
+            offset = (NClogN >> 1) - den * FINE_OFFSET
+            if N == 2:
+                offset = offset + (den << BITRES >> 2)
+            offset = offset + jnp.where(
+                bj + offset < (den * 2) << BITRES, NClogN >> 2,
+                jnp.where(bj + offset < (den * 3) << BITRES,
+                          NClogN >> 3, 0))
+            eb = jnp.maximum(0, bj + offset + (den << (BITRES - 1)))
+            eb = (eb // den) >> BITRES
+            eb = jnp.where(C * eb > (bj >> BITRES),
+                           bj >> BITRES, eb)   # stereo=0
+            eb = jnp.minimum(eb, MAX_FINE_BITS)
+            fp = (eb * (den << BITRES) >= bj + offset).astype(_i32)
+            bj = bj - (C * eb << BITRES)
+        else:
+            excess = jnp.maximum(0, bit - (C << BITRES))
+            bj = bit - excess
+            eb = jnp.zeros((B,), _i32)
+            fp = jnp.ones((B,), _i32)
+        extra_fine = jnp.minimum(excess >> BITRES, MAX_FINE_BITS - eb)
+        has_excess = excess > 0
+        eb2 = eb + jnp.where(has_excess, extra_fine, 0)
+        extra_bits = extra_fine * C << BITRES
+        fp = jnp.where(has_excess,
+                       (extra_bits >= excess - balance).astype(_i32), fp)
+        excess2 = excess - jnp.where(has_excess, extra_bits, 0)
+        new_balance = excess2
+        # only bands < coded_bands update running balance/bits
+        ebits = ebits.at[:, j].set(jnp.where(inb, eb2, 0))
+        fine_priority = fine_priority.at[:, j].set(jnp.where(inb, fp, 0))
+        bits = bits.at[:, j].set(jnp.where(inb, bj, bits[:, j]))
+        balance = jnp.where(inb, new_balance, balance)
+    # skipped bands: everything becomes fine energy (rate.c:522-529)
+    for j in range(start, end):
+        skipped = j >= coded_bands
+        eb = bits[:, j] >> BITRES       # stereo=0
+        ebits = ebits.at[:, j].set(jnp.where(skipped, eb, ebits[:, j]))
+        fine_priority = fine_priority.at[:, j].set(
+            jnp.where(skipped, (eb < 1).astype(_i32),
+                      fine_priority[:, j]))
+        bits = bits.at[:, j].set(jnp.where(skipped, 0, bits[:, j]))
+    return c, bits, ebits, fine_priority, coded_bands, balance
+
+
+# ---------------------------------------------------------------------------
+# Fine energy (quant_bands.c:361-396), mono
+
+def fine_energy(c: PlanCoder, oldEBands, error, ebits, start: int,
+                end: int):
+    dt = error.dtype
+    for i in range(start, end):
+        fq = ebits[:, i]
+        has = fq > 0
+        frac = (1 << fq).astype(dt)
+        q2 = jnp.floor((error[:, i] + 0.5) * frac).astype(_i32)
+        q2 = jnp.clip(q2, 0, (1 << fq) - 1)
+        c = bc.bits(c, has, q2, fq)
+        offset = ((q2.astype(dt) + 0.5)
+                  * (1 << (14 - fq)).astype(dt) / 16384.0 - 0.5)
+        offset = jnp.where(has, offset, 0)
+        oldEBands = oldEBands.at[:, i].add(offset)
+        error = error.at[:, i].add(-offset)
+    return c, oldEBands, error
+
+
+def energy_finalise(c: PlanCoder, oldEBands, error, ebits, fine_priority,
+                    bits_left, start: int, end: int):
+    """quant_energy_finalise (quant_bands.c:398-426), C == 1."""
+    dt = error.dtype
+    for prio in range(2):
+        for i in range(start, end):
+            go = (bits_left >= 1) & (ebits[:, i] < MAX_FINE_BITS) \
+                & (fine_priority[:, i] == prio)
+            q2 = (error[:, i] >= 0).astype(_i32)
+            c = bc.bits(c, go, q2, 1)
+            offset = (q2.astype(dt) - 0.5) \
+                * (1 << (14 - ebits[:, i] - 1)).astype(dt) / 16384.0
+            offset = jnp.where(go, offset, 0)
+            oldEBands = oldEBands.at[:, i].add(offset)
+            error = error.at[:, i].add(-offset)
+            bits_left = bits_left - go.astype(_i32)
+    return c, oldEBands, error
+
+
+# ---------------------------------------------------------------------------
+# Bit-exact integer helpers (bands.c:42-91)
+
+def _frac_mul16(a, b):
+    return (16384 + a * b) >> 15
+
+
+def _bitexact_cos(x):
+    tmp = (4096 + x * x) >> 13
+    x2 = tmp
+    x2 = (32767 - x2) + _frac_mul16(
+        x2, -7651 + _frac_mul16(x2, 8277 + _frac_mul16(-626, x2)))
+    return 1 + x2
+
+
+def _bitexact_log2tan(isin, icos):
+    lc = bc.ec_ilog(icos.astype(jnp.uint32))
+    ls = bc.ec_ilog(isin.astype(jnp.uint32))
+    icos = icos << (15 - lc)
+    isin = isin << (15 - ls)
+    return ((ls - lc) * (1 << 11)
+            + _frac_mul16(isin, _frac_mul16(isin, -2597) + 7932)
+            - _frac_mul16(icos, _frac_mul16(icos, -2597) + 7932))
+
+
+def _compute_qn(N, b, offset, pulse_cap):
+    """bands.c:647-671 (mono: stereo==0)."""
+    EXP2_TABLE8 = jnp.asarray(
+        np.array([16384, 17866, 19483, 21247, 23170, 25267, 27554, 30048],
+                 np.int32))
+    N2 = 2 * N - 1
+    num = b + N2 * offset
+    qb = jnp.where(num >= 0, num // N2, -((-num) // N2))
+    qb = jnp.minimum(b - pulse_cap - (4 << BITRES), qb)
+    qb = jnp.minimum(8 << BITRES, qb)
+    qn = EXP2_TABLE8[qb & 0x7] >> (14 - (qb >> BITRES))
+    qn = ((qn + 1) >> 1) << 1
+    return jnp.where(qb < ((1 << BITRES) >> 1), 1, qn)
+
+
+def _seq_sum(x, exact: bool):
+    """Σ over the last axis; ``exact`` = strict left-to-right order to
+    match the scalar encoder's accumulation bit-for-bit (CPU float64
+    verification); otherwise let XLA pick the fast reduction."""
+    if not exact:
+        return jnp.sum(x, axis=-1)
+
+    def step(acc, col):
+        return acc + col, None
+
+    acc, _ = jax.lax.scan(step, jnp.zeros(x.shape[:-1], x.dtype), x.T)
+    return acc
+
+
+# ---------------------------------------------------------------------------
+# PVQ search + CWRS index (vq.c:165-328, cwrs.c:440-461)
+
+def pvq_search_batch(Xseg, K, kmax: int, exact: bool):
+    """op_pvq_search over [B, N]; K: [B] pulses (>=1 where used).
+
+    Returns iy [B, N] int32 (signed pulse vector)."""
+    B, N = Xseg.shape
+    dt = Xseg.dtype
+    sign = Xseg < 0
+    X = jnp.abs(Xseg)
+    do_proj = K > (N >> 1)
+    acc = _seq_sum(X, exact)
+    bad = ~((acc > EPSILON) & (acc < 64))
+    fix = do_proj & bad
+    onehot = jnp.zeros((B, N), dt).at[:, 0].set(1.0)
+    X = jnp.where(fix[:, None], onehot, X)
+    acc = jnp.where(fix, jnp.asarray(1.0, dt), acc)
+    rcp = (K.astype(dt) + jnp.asarray(0.8, dt)) / acc
+    iy = jnp.where(do_proj[:, None],
+                   jnp.floor(rcp[:, None] * X), 0.0).astype(_i32)
+    yf = iy.astype(dt)
+    yy = _seq_sum(yf * yf, exact)
+    xy = _seq_sum(X * yf, exact)
+    y2 = 2.0 * yf
+    pulses_left = K - jnp.where(do_proj, jnp.sum(iy, axis=-1), 0)
+    # lump pathological remainders into bin 0 (vq.c:228-233)
+    dump = pulses_left > N + 3
+    tmpf = pulses_left.astype(dt)
+    yy = yy + jnp.where(dump, tmpf * tmpf + tmpf * y2[:, 0], 0.0)
+    iy = iy.at[:, 0].add(jnp.where(dump, pulses_left, 0))
+    y2 = y2.at[:, 0].add(jnp.where(dump, 2.0 * tmpf, 0.0))
+    pulses_left = jnp.where(dump, 0, pulses_left)
+
+    iters = min(kmax, N + 3)
+
+    def body(_, carry):
+        iy, y2, xy, yy, left = carry
+        go = left > 0
+        yy1 = yy + 1.0
+        rxy = xy[:, None] + X
+        ryy = yy1[:, None] + y2
+        ratio = (rxy * rxy) / ryy
+        best = jnp.argmax(ratio, axis=-1)
+        bx = jnp.take_along_axis(X, best[:, None], 1)[:, 0]
+        by = jnp.take_along_axis(y2, best[:, None], 1)[:, 0]
+        xy2 = jnp.where(go, xy + bx, xy)
+        yy2 = jnp.where(go, yy1 + by, yy)
+        onehot_b = (jnp.arange(N)[None, :] == best[:, None]) & go[:, None]
+        y2 = y2 + jnp.where(onehot_b, 2.0, 0.0)
+        iy = iy + onehot_b.astype(_i32)
+        return iy, y2, xy2, yy2, left - go.astype(_i32)
+
+    iy, y2, xy, yy, pulses_left = jax.lax.fori_loop(
+        0, iters, body, (iy, y2, xy, yy, pulses_left))
+    return jnp.where(sign, -iy, iy)
+
+
+def icwrs_batch(iy, u_tab):
+    """Pulse vector [B, N] -> (index uint32, K uint32) (cwrs.c:440)."""
+    B, N = iy.shape
+    u = jnp.asarray(u_tab)        # [nmax+2, kmax+3] uint32
+
+    yl = jnp.abs(iy[:, N - 1])
+    idx = (iy[:, N - 1] < 0).astype(jnp.uint32)
+    k = yl
+
+    def body(jj, carry):
+        idx, k = carry
+        j = N - 2 - jj
+        dim = N - j
+        yj = iy[:, j]
+        idx = idx + u[dim, k]
+        k = k + jnp.abs(yj)
+        idx = idx + jnp.where(yj < 0, u[dim, k + 1], np.uint32(0))
+        return idx, k
+
+    idx, k = jax.lax.fori_loop(0, N - 1, body, (idx, k))
+    v = u[N, k] + u[N, k + 1]
+    return idx, v
+
+
+# ---------------------------------------------------------------------------
+# The mono band tree (bands.c:943-1105, encode / no-resynth)
+
+def _leaf_pvq(c: PlanCoder, rem, Xb, off, b, active, i: int, N: int,
+              lm_k: int, t: Tables, exact: bool):
+    """No-split case of quant_partition: bits->pulses, PVQ, CWRS."""
+    cache_off = int(t.cache_index[(lm_k + 1) * len(t.log_n) + i])
+    maxq = int(t.cache_bits[cache_off])
+    row = jnp.asarray(t.cache_bits[cache_off:cache_off + maxq + 1])
+
+    # bits2pulses (modes.py:168-182): 6-step search on the cache row
+    bits_m1 = b - 1
+    lo = jnp.zeros_like(b)
+    hi = jnp.full_like(b, maxq)
+    for _ in range(6):                       # LOG_MAX_PSEUDO
+        mid = (lo + hi + 1) >> 1
+        ge = row[mid] >= bits_m1
+        hi = jnp.where(ge, mid, hi)
+        lo = jnp.where(ge, lo, mid)
+    lo_bits = jnp.where(lo == 0, -1, row[jnp.maximum(lo, 0)])
+    q = jnp.where(bits_m1 - lo_bits <= row[hi] - bits_m1, lo, hi)
+
+    def p2b(qv):
+        return jnp.where(qv == 0, 0, row[qv] + 1)
+
+    curr = p2b(q)
+    rem2 = jnp.where(active, rem - curr, rem)
+
+    def _fix(_, st):
+        rem2, q, curr = st
+        fix = active & (rem2 < 0) & (q > 0)
+        rem2 = jnp.where(fix, rem2 + curr, rem2)
+        q = q - fix.astype(_i32)
+        curr = jnp.where(fix, p2b(q), curr)
+        rem2 = jnp.where(fix, rem2 - curr, rem2)
+        return rem2, q, curr
+
+    rem2, q, curr = jax.lax.fori_loop(0, min(maxq, 40), _fix,
+                                      (rem2, q, curr))
+    rem = rem2
+
+    kmax = get_pulses(maxq)
+    K = jnp.where(q < 8, q, (8 + (q & 7)) << jnp.maximum((q >> 3) - 1, 0))
+    code = active & (q > 0)
+    # gather the node's segment, zero-padded outside its width
+    cols = off[:, None] + jnp.arange(N)[None, :]
+    Xseg = jnp.take_along_axis(Xb, cols, axis=1)
+    iy = pvq_search_batch(Xseg, jnp.maximum(K, 1), kmax, exact)
+    idx, v = icwrs_batch(iy, t.u_tab)
+    c = bc.uint(c, code, idx, jnp.maximum(v, np.uint32(2)))
+    return c, rem
+
+
+def _theta_split(c: PlanCoder, rem, Xb, off, b, split, i: int,
+                 N_half: int, lm_child: int, t: Tables, exact: bool):
+    """compute_theta for a mono split (bands.c:700-903, stereo=0,
+    B0==1 triangular pdf).  Returns (coder, rem, b', mbits, sbits,
+    itheta_q14)."""
+    dt = Xb.dtype
+    pulse_cap = int(t.log_n[i]) + lm_child * (1 << BITRES)
+    offset = (pulse_cap >> 1) - QTHETA_OFFSET
+    qn = _compute_qn(N_half, b, offset, pulse_cap)
+
+    cols = off[:, None] + jnp.arange(2 * N_half)[None, :]
+    seg = jnp.take_along_axis(Xb, cols, axis=1)
+    mid, side = seg[:, :N_half], seg[:, N_half:]
+    emid = jnp.asarray(EPSILON, dt) + _seq_sum(mid * mid, exact)
+    eside = jnp.asarray(EPSILON, dt) + _seq_sum(side * side, exact)
+    itheta_raw = jnp.floor(
+        0.5 + 16384 * (2 / math.pi)
+        * jnp.arctan2(jnp.sqrt(eside), jnp.sqrt(emid))).astype(_i32)
+
+    tell0 = bc.tell_frac(c)
+    has_theta = split & (qn != 1)
+    itheta = (itheta_raw * qn + 8192) >> 14
+    # triangular pdf (bands.c:860-877, B0==1 && !stereo)
+    half = qn >> 1
+    ft = (half + 1) * (half + 1)
+    low = itheta <= half
+    fs = jnp.where(low, itheta + 1, qn + 1 - itheta)
+    fl = jnp.where(low, itheta * (itheta + 1) >> 1,
+                   ft - ((qn + 1 - itheta) * (qn + 2 - itheta) >> 1))
+    c = bc.encode(c, has_theta, fl, fl + fs, ft)
+    itheta_q14 = jnp.where(qn != 1, (itheta * 16384) // jnp.maximum(qn, 1),
+                           0)
+    qalloc = jnp.where(split, bc.tell_frac(c) - tell0, 0)
+    b = b - qalloc
+    rem = rem - qalloc
+
+    imid = jnp.where(itheta_q14 == 0, 32767,
+                     jnp.where(itheta_q14 == 16384, 0,
+                               _bitexact_cos(itheta_q14)))
+    iside = jnp.where(itheta_q14 == 0, 0,
+                      jnp.where(itheta_q14 == 16384, 32767,
+                                _bitexact_cos(16384 - itheta_q14)))
+    delta = jnp.where(
+        itheta_q14 == 0, -16384,
+        jnp.where(itheta_q14 == 16384, 16384,
+                  _frac_mul16((N_half - 1) << 7,
+                              _bitexact_log2tan(iside, imid))))
+    half_b = b - delta
+    mbits = jnp.maximum(0, jnp.minimum(b, half_b // 2))
+    sbits = b - mbits
+    return c, rem, mbits, sbits, itheta_q14
+
+
+def _quant_partition_tree(c: PlanCoder, rem, Xb, off, b, active, i: int,
+                          N: int, lm_k: int, t: Tables, exact: bool):
+    """Static-unrolled quant_partition: leaf or theta-split; children
+    processed in per-stream (mbits >= sbits) order via offset selection.
+    All order divergence is per-stream masked — each stream follows
+    exactly one root-to-leaf path, so its plan rows stay in coder order.
+    """
+    nb = len(t.log_n)
+    can_split = lm_k != -1 and N > 2
+    if can_split:
+        cache_off = int(t.cache_index[(lm_k + 1) * nb + i])
+        thresh = int(t.cache_bits[cache_off
+                                  + int(t.cache_bits[cache_off])]) + 12
+        split = active & (b > thresh)
+    else:
+        split = jnp.zeros_like(active)
+    leaf = active & ~split
+
+    c, rem = _leaf_pvq(c, rem, Xb, off, b, leaf, i, N, lm_k, t, exact)
+
+    if can_split:
+        N_half = N >> 1
+        c, rem, mbits, sbits, itheta = _theta_split(
+            c, rem, Xb, off, b, split, i, N_half, lm_k - 1, t, exact)
+        swap = mbits < sbits            # side coded first
+        off_mid = off
+        off_side = off + N_half
+        first_off = jnp.where(swap, off_side, off_mid)
+        second_off = jnp.where(swap, off_mid, off_side)
+        first_b = jnp.where(swap, sbits, mbits)
+        rem_before = rem
+        c, rem = _quant_partition_tree(c, rem, Xb, first_off, first_b,
+                                       split, i, N_half, lm_k - 1, t,
+                                       exact)
+        rebalance = first_b - (rem_before - rem)
+        second_b = jnp.where(swap, mbits, sbits)
+        extra = rebalance - (3 << BITRES)
+        give = (extra > 0) & (itheta != jnp.where(swap, 16384, 0))
+        second_b = second_b + jnp.where(split & give, extra, 0)
+        c, rem = _quant_partition_tree(c, rem, Xb, second_off, second_b,
+                                       split, i, N_half, lm_k - 1, t,
+                                       exact)
+    return c, rem
+
+
+def quant_all_bands_batch(c: PlanCoder, X, pulses, coded_bands,
+                          total_bits_q3, balance0, t: Tables, lm: int,
+                          start: int, end: int, exact: bool):
+    """bands.c:1398-1672 encode path, mono, long blocks, no resynth.
+
+    X: [B, Nfreq] normalised spectrum; pulses/coded_bands/balance0 from
+    the allocation.  Returns the coder."""
+    M = 1 << lm
+    e_bands = t.e_bands
+    balance = balance0
+    for i in range(start, end):
+        xlo = M * int(e_bands[i])
+        N = M * int(e_bands[i + 1]) - xlo
+        tellf = bc.tell_frac(c)
+        if i != start:
+            balance = balance - tellf
+        remaining = total_bits_q3 - tellf - 1
+        den = jnp.minimum(3, coded_bands - i)
+        den = jnp.maximum(den, 1)
+        curr_balance = jnp.where(balance >= 0, balance // den,
+                                 -((-balance) // den))
+        b = jnp.clip(jnp.minimum(remaining + 1,
+                                 pulses[:, i] + curr_balance), 0, 16383)
+        active = i <= coded_bands - 1
+        b = jnp.where(active, b, 0)
+        Xb = X[:, xlo:xlo + N]
+        if N == 1:
+            # quant_band_n1 (bands.c:904-937, mono encode): one sign bit
+            # when the budget allows
+            has = active & (remaining >= (1 << BITRES))
+            sign = (Xb[:, 0] < 0).astype(_i32)
+            c = bc.bits(c, has, sign, 1)
+        else:
+            off0 = jnp.zeros(X.shape[0], _i32)
+            c, _ = _quant_partition_tree(
+                c, remaining, Xb, off0, b, active, i, N, lm, t, exact)
+        balance = balance + pulses[:, i] + tellf
+    return c
+
+
+# ---------------------------------------------------------------------------
+# dynalloc_analysis (celt_encoder.c:981-1185, float, mono)
+
+def _med3(a, b, cc):
+    t0 = jnp.minimum(a, b)
+    t1 = jnp.maximum(a, b)
+    return jnp.where(t1 < cc, t1, jnp.where(t0 < cc, cc, t0))
+
+
+def _med5(x0, x1, x2, x3, x4):
+    t0 = jnp.minimum(x0, x1)
+    t1 = jnp.maximum(x0, x1)
+    t2 = x2
+    t3 = jnp.minimum(x3, x4)
+    t4 = jnp.maximum(x3, x4)
+    swap = t0 > t3
+    t0n = jnp.where(swap, t3, t0)
+    t3n = jnp.where(swap, t0, t3)
+    t1n = jnp.where(swap, t4, t1)
+    t4n = jnp.where(swap, t1, t4)
+    hi = jnp.where(t2 > t1n,
+                   jnp.where(t1n < t3n, jnp.minimum(t2, t3n),
+                             jnp.minimum(t4n, t1n)),
+                   jnp.where(t2 < t3n, jnp.minimum(t1n, t3n),
+                             jnp.minimum(t2, t4n)))
+    return hi
+
+
+_DYN_DEBUG = {}
+
+
+def dynalloc_analysis_batch(bandLogE, oldBandE, effective_bytes,
+                            t: Tables, lm: int, start: int, end: int,
+                            lsb_depth: int, vbr: bool,
+                            constrained_vbr: bool, is_transient):
+    """Returns offsets (boost step counts, [B, nb] int32) for the
+    complexity-0 mono CBR path (bandLogE2 == bandLogE, no LFE, no
+    surround).  importance/spread_weight are not needed (tf analysis
+    and spreading are disabled)."""
+    dt = bandLogE.dtype
+    B, nb = bandLogE.shape
+    widths = (t.e_bands[1:] - t.e_bands[:-1]).astype(np.int64)
+    noise_floor = np.zeros(nb)
+    for i in range(end):
+        noise_floor[i] = (0.0625 * float(t.log_n[i]) + 0.5
+                          + (9 - lsb_depth) - float(t.emeans[i])
+                          + 0.0062 * (i + 5) * (i + 5))
+    nf = jnp.asarray(noise_floor, dt)
+
+    gate = effective_bytes >= 30 + 5 * lm
+    x3 = bandLogE[:, :end]
+    if lm == 0:
+        # at LM==0 the first 8 bands take max(new, old) energies
+        # (celt_encoder.c:1022-1026)
+        k = min(8, end)
+        x3 = x3.at[:, :k].set(jnp.maximum(x3[:, :k], oldBandE[:, :k]))
+    # last rising edge (>.5 dB step)
+    idxs = jnp.arange(end)
+    rise = jnp.concatenate(
+        [jnp.zeros((B, 1), bool),
+         x3[:, 1:] > x3[:, :-1] + jnp.asarray(0.5, dt)], axis=1)
+    last = jnp.max(jnp.where(rise, idxs[None, :], 0), axis=1)
+    # forward follower
+    f = x3[:, 0]
+    fw = [f]
+    for i in range(1, end):
+        f = jnp.minimum(fw[i - 1] + jnp.asarray(1.5, dt), x3[:, i])
+        fw.append(f)
+    f = jnp.stack(fw, axis=1)
+    # backward pass, only below the last rising edge
+    for i in range(end - 2, -1, -1):
+        upd = jnp.minimum(f[:, i],
+                          jnp.minimum(f[:, i + 1] + jnp.asarray(2.0, dt),
+                                      x3[:, i]))
+        f = f.at[:, i].set(jnp.where(i <= last - 1, upd, f[:, i]))
+    # median floors
+    offset = jnp.asarray(1.0, dt)
+    for i in range(2, end - 2):
+        med = _med5(x3[:, i - 2], x3[:, i - 1], x3[:, i], x3[:, i + 1],
+                    x3[:, i + 2]) - offset
+        f = f.at[:, i].set(jnp.maximum(f[:, i], med))
+    tmp = _med3(x3[:, 0], x3[:, 1], x3[:, 2]) - offset
+    f = f.at[:, 0].set(jnp.maximum(f[:, 0], tmp))
+    f = f.at[:, 1].set(jnp.maximum(f[:, 1], tmp))
+    tmp = _med3(x3[:, end - 3], x3[:, end - 2], x3[:, end - 1]) - offset
+    f = f.at[:, end - 2].set(jnp.maximum(f[:, end - 2], tmp))
+    f = f.at[:, end - 1].set(jnp.maximum(f[:, end - 1], tmp))
+    f = jnp.maximum(f, nf[None, :end])
+
+    fol = jnp.maximum(jnp.asarray(0.0, dt), x3 - f)
+    if (not vbr) or constrained_vbr:
+        fol = jnp.where(is_transient[:, None], fol,
+                        jnp.asarray(0.5, dt) * fol)
+    scale = np.ones(end)
+    for i in range(end):
+        if i < 8:
+            scale[i] *= 2.0
+        if i >= 12:
+            scale[i] *= 0.5
+    fol = fol * jnp.asarray(scale, dt)[None, :]
+    fol = jnp.minimum(fol, jnp.asarray(4.0, dt))
+    _DYN_DEBUG.clear()
+    _DYN_DEBUG.update(f=f, fol=fol, x3=x3, last=last)
+
+    offsets = jnp.zeros((B, nb), _i32)
+    tot_boost = jnp.zeros((B,), _i32)
+    stopped = jnp.zeros((B,), bool)
+    cap_gate = (not vbr) or constrained_vbr   # (&& !transient handled below)
+    for i in range(start, end):
+        w = int(widths[i]) << lm             # C * (eband width) << LM
+        if w < 6:
+            boost = fol[:, i].astype(_i32)
+            boost_bits = boost * w << BITRES
+        elif w > 48:
+            boost = (fol[:, i] * 8).astype(_i32)
+            boost_bits = (boost * w << BITRES) // 8
+        else:
+            boost = (fol[:, i] * w / 6).astype(_i32)
+            boost_bits = boost * 6 << BITRES
+        # (!vbr || (constrained_vbr && !isTransient)) — CBR: always on
+        hit_cap = ((tot_boost + boost_bits) >> BITRES >> 3) \
+            > 2 * effective_bytes // 3
+        cap_now = hit_cap & ~stopped if cap_gate \
+            else jnp.zeros_like(stopped)
+        capv = ((2 * effective_bytes // 3) << BITRES << 3)
+        offsets = offsets.at[:, i].set(
+            jnp.where(cap_now, capv - tot_boost,
+                      jnp.where(stopped, 0, boost)))
+        tot_boost = jnp.where(cap_now, capv,
+                              jnp.where(stopped, tot_boost,
+                                        tot_boost + boost_bits))
+        stopped = stopped | cap_now
+    offsets = jnp.where(gate[:, None], offsets, 0)
+    return offsets
+
+
+def alloc_trim_batch(bandLogE, equiv_rate, end: int, exact: bool):
+    """alloc_trim_analysis (celt_encoder.c:797-887) for mono with
+    tf_estimate == 0 and no surround; returns trim index [B]."""
+    dt = bandLogE.dtype
+    trim = jnp.full(bandLogE.shape[:1], 5.0, dt)
+    frac = (equiv_rate - 64000) >> 10
+    trim = jnp.where(equiv_rate < 64000, jnp.asarray(4.0, dt),
+                     jnp.where(equiv_rate < 80000,
+                               4.0 + (1.0 / 16) * frac.astype(dt), trim))
+    w = jnp.asarray(np.arange(end - 1) * 2 + 2 - end,
+                    dt)     # (2 + 2*i - end)
+    diff = _seq_sum(bandLogE[:, :end - 1] * w[None, :], exact)
+    diff = diff / (end - 1)
+    trim = trim - jnp.clip((diff + 1.0) / 6, -2.0, 2.0)
+    trim_index = jnp.floor(0.5 + trim).astype(_i32)
+    return jnp.clip(trim_index, 0, 10)
+
+
+# ---------------------------------------------------------------------------
+# Top level: complexity-0 mono CBR plan from a normalised spectrum
+
+class CeltBatchState(NamedTuple):
+    """Carried per-stream encoder state (pytree of [B,...] arrays)."""
+    oldBandE: jnp.ndarray       # [B, nb]
+    oldLogE: jnp.ndarray
+    oldLogE2: jnp.ndarray
+    energyError: jnp.ndarray
+    delayedIntra: jnp.ndarray   # [B]
+    spec_avg: jnp.ndarray       # [B]
+    lastCodedBands: jnp.ndarray  # [B] int32
+    consec_transient: jnp.ndarray  # [B] int32
+
+
+def init_state(B: int, nb: int = 21, dtype=jnp.float32) -> CeltBatchState:
+    z = jnp.zeros((B, nb), dtype)
+    return CeltBatchState(
+        oldBandE=z, oldLogE=z - 28.0, oldLogE2=z - 28.0,
+        energyError=z, delayedIntra=jnp.zeros((B,), dtype),
+        spec_avg=jnp.zeros((B,), dtype),
+        lastCodedBands=jnp.zeros((B,), _i32),
+        consec_transient=jnp.zeros((B,), _i32))
+
+
+def plan_from_spectrum(X, bandLogE, state: CeltBatchState, nbytes,
+                       silence, bitrate, lm: int = 3, start: int = 0,
+                       end: int = 21, lsb_depth: int = 24,
+                       exact: bool = False):
+    """All post-transform encoder stages for mono/CBR/complexity-0.
+
+    X: [B, N] unit-normalised spectrum; bandLogE: [B, nb] log energies;
+    nbytes: [B] int32 frame budget (already CBR-capped); silence: [B]
+    bool.  Returns (PlanCoder, new_state)."""
+    t = make_tables(lm, 1)
+    B, nb = bandLogE.shape
+    dt = bandLogE.dtype
+    c = bc.plan_init(B, MAX_OPS)
+    total_bits = nbytes * 8
+    nb_available = nbytes
+
+    # silence flag (tell==1 → always coded), then the tell jump
+    c = bc.bit_logp(c, jnp.ones((B,), bool), silence.astype(_i32), 15)
+    c = c._replace(nbits_total=jnp.where(
+        silence, c.nbits_total + (total_bits - tell_of(c)), c.nbits_total))
+
+    # prefilter off at complexity<5 (celt_encoder.c:1694-1756 gate)
+    c = bc.bit_logp(c, bc.tell(c) + 16 <= total_bits, 0, 1)
+    # transient off at complexity<1; still codes the flag when room
+    # (celt_encoder.c:844-851: only for LM > 0)
+    if lm > 0:
+        trans_room = bc.tell(c) + 3 <= total_bits
+        c = bc.bit_logp(c, trans_room, 0, 3)
+        transient_got_disabled = (~trans_room).astype(_i32)
+    else:
+        transient_got_disabled = jnp.ones((B,), _i32)
+
+    # temporal VBR follower (state parity; target unused in CBR)
+    follow = jnp.full((B,), -10.0, dt)
+    frame_avg = jnp.zeros((B,), dt)
+    for i in range(start, end):
+        follow = jnp.maximum(follow - 1.0, bandLogE[:, i])
+        frame_avg = frame_avg + follow
+    frame_avg = frame_avg / (end - start)
+    temporal_vbr = jnp.clip(frame_avg - state.spec_avg, -1.5, 3.0)
+    spec_avg = state.spec_avg + 0.02 * temporal_vbr
+
+    # dynalloc analysis on the pre-feedback energies
+    offsets_steps = dynalloc_analysis_batch(
+        bandLogE, state.oldBandE, nbytes, t, lm, start, end, lsb_depth,
+        vbr=False, constrained_vbr=False,
+        is_transient=jnp.zeros((B,), bool))
+
+    # energy-error feedback (celt_encoder.c:1939-1945)
+    fb = jnp.abs(bandLogE - state.oldBandE) < 2.0
+    bandLogE_fb = bandLogE - jnp.where(
+        fb, state.energyError * jnp.asarray(0.25, dt), 0)
+
+    # coarse energy (single-pass; intra decision from state)
+    dist = jnp.minimum(
+        200.0, jnp.sum((bandLogE_fb - state.oldBandE) ** 2, axis=1))
+    intra = (state.delayedIntra > 2 * (end - start)) \
+        & (nb_available > (end - start))
+    c, oldBandE, error = coarse_energy(
+        c, bandLogE_fb, state.oldBandE, total_bits, intra, nb_available,
+        lm, start, end)
+    delayedIntra = jnp.where(
+        intra, dist,
+        jnp.asarray(PRED_COEF[lm] * PRED_COEF[lm], dt)
+        * state.delayedIntra + dist)
+
+    c = tf_encode_zeros(c, total_bits, lm, start, end)
+    c = spread_decision_c0(c, total_bits)
+
+    total_bits_q3 = total_bits << BITRES
+    c, offsets_q3, total_boost = dynalloc_coding(
+        c, offsets_steps, t.caps, total_bits_q3, lm, 1, start, end,
+        t.e_bands)
+
+    equiv_rate = (nbytes * 8 * 50 << (3 - lm)) - 60 * ((400 >> lm) - 50)
+    equiv_rate = jnp.minimum(equiv_rate,
+                             bitrate - 60 * ((400 >> lm) - 50))
+    trim = alloc_trim_batch(bandLogE_fb, equiv_rate, end, exact)
+    fits = bc.tell_frac(c) + (6 << BITRES) <= total_bits_q3 - total_boost
+    trim = jnp.where(fits, trim, 5)
+    c = bc.icdf(c, fits, trim, np.asarray(TRIM_ICDF, np.int32), 7)
+
+    bits_q3 = total_bits_q3 - bc.tell_frac(c) - 1
+    signal_bw = jnp.full((B,), end - 1, _i32)
+    c, pulses, ebits, fine_pri, coded_bands, balance = \
+        compute_allocation_batch(c, t, offsets_q3, trim, bits_q3, lm,
+                                 start, end, state.lastCodedBands,
+                                 signal_bw)
+    lastCodedBands = jnp.where(
+        state.lastCodedBands == 0, coded_bands,
+        jnp.minimum(state.lastCodedBands + 1,
+                    jnp.maximum(state.lastCodedBands - 1, coded_bands)))
+
+    c, oldBandE, error = fine_energy(c, oldBandE, error, ebits, start,
+                                     end)
+    c = quant_all_bands_batch(c, X, pulses, coded_bands,
+                              nbytes * (8 << BITRES), balance, t, lm,
+                              start, end, exact)
+    bits_left = nbytes * 8 - bc.tell(c)
+    c, oldBandE, error = energy_finalise(c, oldBandE, error, ebits,
+                                         fine_pri, bits_left, start, end)
+
+    # trim the plan buffer to the slots actually allocated this trace
+    c = c._replace(ops=c.ops[:, :bc._SLOT[0]])
+
+    energyError = jnp.clip(error, -0.5, 0.5)
+    oldBandE = jnp.where(silence[:, None],
+                         jnp.asarray(-28.0, dt), oldBandE)
+    new_state = CeltBatchState(
+        oldBandE=oldBandE,
+        oldLogE2=state.oldLogE,
+        oldLogE=oldBandE,
+        energyError=energyError,
+        delayedIntra=delayedIntra,
+        spec_avg=spec_avg,
+        lastCodedBands=lastCodedBands,
+        consec_transient=jnp.where(transient_got_disabled == 1,
+                                   state.consec_transient + 1, 0))
+    return c, new_state
+
+
+def tell_of(c: PlanCoder):
+    return bc.tell(c)
+
+
+plan_from_spectrum_jit = jax.jit(
+    plan_from_spectrum,
+    static_argnames=("lm", "start", "end", "lsb_depth", "exact"))
+
+
+def cbr_bytes(bitrate: int, frame_size: int, fs: int,
+              max_bytes: int) -> int:
+    """The CBR byte budget (celt/encoder.py:750-757, tell==1)."""
+    tmp = bitrate * frame_size
+    return max(2, min(min(max_bytes, 1275), (tmp + 4 * fs) // (8 * fs)))
+
+
+# ---------------------------------------------------------------------------
+# Full device pipeline: PCM -> plan (transform from celt.batch + planner)
+
+class CeltStreamState(NamedTuple):
+    """Everything a batched CELT encode stream carries across frames."""
+    celt: CeltBatchState
+    preemph_mem: jnp.ndarray    # [B]
+    in_mem: jnp.ndarray         # [B, overlap]
+    overlap_max: jnp.ndarray    # [B]
+
+
+def init_stream_state(B: int, dtype=jnp.float32) -> CeltStreamState:
+    m = standard_mode()
+    return CeltStreamState(
+        celt=init_state(B, dtype=dtype),
+        preemph_mem=jnp.zeros((B,), dtype),
+        in_mem=jnp.zeros((B, m.overlap), dtype),
+        overlap_max=jnp.zeros((B,), dtype))
+
+
+def celt_encode_batch_plan(pcm, st: CeltStreamState, nbytes, bitrate,
+                           lm: int = 3, lsb_depth: int = 24,
+                           exact: bool = False):
+    """One 20 ms frame for a batch of mono streams: preemphasis, MDCT,
+    band energies, normalisation (celt.batch matmul transforms) and the
+    full symbol-planning pass.  pcm: [B, N] in [-1, 1].
+
+    Returns (PlanCoder, new_state)."""
+    from .batch import (band_energies_batch, mdct_forward_batch,
+                        normalise_batch, preemphasis_batch)
+    m = standard_mode()
+    dt = pcm.dtype
+    B, N = pcm.shape
+    ov = m.overlap
+
+    # silence detection state (celt_encoder.c:1611-1628)
+    npcm = N - ov
+    s1 = st.overlap_max if npcm == 0 else jnp.maximum(
+        st.overlap_max, jnp.max(jnp.abs(pcm[:, :npcm]), axis=1))
+    new_ovm = jnp.max(jnp.abs(pcm[:, npcm:]), axis=1)
+    sample_max = jnp.maximum(s1, new_ovm)
+    silence = sample_max <= (1.0 / (1 << lsb_depth))
+
+    sig, pmem = preemphasis_batch(pcm, st.preemph_mem)
+    inb = jnp.concatenate([st.in_mem, sig], axis=1)
+    in_mem2 = inb[:, N:N + ov]
+    spec = mdct_forward_batch(inb, m.short_mdct_size << lm)
+    bandE = band_energies_batch(spec, lm)
+    bandLogE = jnp.log2(bandE) - jnp.asarray(EMEANS[:21], dt)[None, :]
+    X = normalise_batch(spec, bandE, lm)
+
+    c, celt2 = plan_from_spectrum(X.astype(dt), bandLogE.astype(dt),
+                                  st.celt, nbytes, silence, bitrate,
+                                  lm=lm, lsb_depth=lsb_depth, exact=exact)
+    return c, CeltStreamState(celt=celt2, preemph_mem=pmem,
+                              in_mem=in_mem2, overlap_max=new_ovm)
+
+
+celt_encode_batch_plan_jit = jax.jit(
+    celt_encode_batch_plan,
+    static_argnames=("lm", "lsb_depth", "exact"))

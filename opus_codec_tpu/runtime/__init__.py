@@ -148,3 +148,30 @@ def encode_plan_batch(ops: np.ndarray, op_offsets: np.ndarray,
     pkts = [out[out_offsets[i]:out_offsets[i + 1]].tobytes()
             for i in range(B)]
     return pkts, rngs
+
+
+def encode_plan_batch_strided(ops: np.ndarray, counts: np.ndarray,
+                              sizes: np.ndarray):
+    """Pack B independent plans: ops int32 [B, max_ops, 4], counts [B],
+    sizes [B] (per-stream byte budgets = packet sizes, CBR).
+
+    Returns (out uint8 [B, max(sizes)] — packet s is out[s, :sizes[s]] —
+    and rngs uint32 [B])."""
+    lib = _lib()
+    assert lib is not None
+    ops = np.ascontiguousarray(ops, dtype=np.int32)
+    counts = np.ascontiguousarray(counts, dtype=np.int32)
+    sizes = np.ascontiguousarray(sizes, dtype=np.int32)
+    B, max_ops, four = ops.shape
+    assert four == 4
+    stride = int(sizes.max())
+    out = np.zeros((B, stride), np.uint8)
+    used = np.zeros(B, np.int32)
+    rngs = np.zeros(B, np.uint32)
+    r = lib.ec_encode_plan_batch_strided(
+        ops.ctypes.data, max_ops, counts.ctypes.data, B,
+        out.ctypes.data, stride, sizes.ctypes.data, used.ctypes.data,
+        rngs.ctypes.data)
+    if r < 0:
+        raise RuntimeError(f"native batch encode failed ({r})")
+    return out, rngs

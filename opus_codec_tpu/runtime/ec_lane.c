@@ -325,6 +325,7 @@ int ec_encode_plan(const int32_t *ops, int n_ops,
   for (i = 0; i < n_ops; i++) {
     int kind = ops[4 * i], a = ops[4 * i + 1], b = ops[4 * i + 2],
         c = ops[4 * i + 3];
+    if (kind < 0) continue;      /* NOP row (masked-off lane) */
     switch (kind) {
       case 0: enc_encode(&e, a, b, c); break;
       case 1: enc_encode_bin(&e, a, b, c); break;
@@ -383,4 +384,29 @@ int ec_encode_plan_batch(const int32_t *ops, const int32_t *op_offsets,
     sizes[s] = r;
   }
   return 0;
+}
+
+/* Strided batch entry: ops laid out [B, max_ops, 4] with per-stream
+ * counts and byte budgets (CBR frame sizes). OpenMP-parallel over
+ * streams when compiled with -fopenmp — each stream's coder is fully
+ * independent (the reference's thread-per-stream contract,
+ * tests/multhithread.rs). */
+int ec_encode_plan_batch_strided(const int32_t *ops, int max_ops,
+                                 const int32_t *counts, int n_streams,
+                                 unsigned char *out, int out_stride,
+                                 const int32_t *sizes, int32_t *used,
+                                 uint32_t *rngs) {
+  int s;
+  int err = 0;
+#ifdef _OPENMP
+#pragma omp parallel for schedule(static)
+#endif
+  for (s = 0; s < n_streams; s++) {
+    int r = ec_encode_plan(ops + (size_t)4 * max_ops * s, counts[s], 0,
+                           out + (size_t)out_stride * s, sizes[s],
+                           rngs ? rngs + s : 0);
+    if (r < 0) err = r;
+    if (used) used[s] = r;
+  }
+  return err;
 }

@@ -64,7 +64,7 @@ def test_plan_coder_matches_scalar_trajectory_and_bytes():
     rng = np.random.default_rng(42)
     B = 5
     scripts = [_random_op_script(rng, 60) for _ in range(B)]
-    max_ops = 200
+    max_ops = 1024
     c = bc.plan_init(B, max_ops)
     encs = [RangeEncoder(1275) for _ in range(B)]
 
@@ -109,15 +109,16 @@ def test_plan_coder_matches_scalar_trajectory_and_bytes():
     # byte check: replay each stream's plan through a fresh scalar coder
     # and through the native C packer
     ops_np = np.asarray(c.ops)
-    pos_np = np.asarray(c.pos)
     for b in range(B):
         replay = RangeEncoder(1275)
-        for row in ops_np[b, :pos_np[b]]:
+        for row in ops_np[b]:
+            if int(row[0]) < 0:
+                continue
             _exec_row_scalar(replay, row)
         encs[b].done()
         replay.done()
         assert replay.data() == encs[b].data(), f"bytes lane {b}"
         if rt.native_available():
-            data, rng_out = rt.encode_plan(ops_np[b, :pos_np[b]], 1275)
+            data, rng_out = rt.encode_plan(ops_np[b], 1275)
             assert data == encs[b].data()[:len(data)]
             assert rng_out == encs[b].rng

@@ -1,0 +1,217 @@
+"""Batched CELT encoder planner vs the scalar encoder (ground truth).
+
+On a float64 backend the device planning pass must reproduce the scalar
+encoder's bitstream *byte-for-byte* for the shared configuration (mono,
+20 ms, CBR, complexity 0).  The scalar encoder is itself validated
+against libopus, so equality here chains to reference conformance.
+"""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+import contextlib
+
+
+@contextlib.contextmanager
+def enable_x64():
+    old = jax.config.jax_enable_x64
+    jax.config.update("jax_enable_x64", True)
+    try:
+        yield
+    finally:
+        jax.config.update("jax_enable_x64", old)
+
+from opus_codec_tpu.bitstream.range_coder import RangeEncoder
+from opus_codec_tpu.celt import bands as B_
+from opus_codec_tpu.celt import batch_encoder as be
+from opus_codec_tpu.celt import energy as E_
+from opus_codec_tpu.celt.encoder import CeltEncoder
+from opus_codec_tpu.celt.mdct import mdct_forward
+from opus_codec_tpu.celt.modes import standard_mode
+from opus_codec_tpu import runtime as rt
+
+M = standard_mode()
+N = 960
+LM = 3
+OV = M.overlap
+
+# the full 20 ms config compiles a very large graph (~30 min cold on one
+# CPU core, cached thereafter in .jax_cache); CI runs the identical code
+# path at 2.5/5 ms unless OPUS_TPU_HEAVY is set
+import os
+HEAVY = bool(os.environ.get("OPUS_TPU_HEAVY"))
+
+
+class ScalarTransform:
+    """The scalar encoder's transform half (preemphasis + in_mem lap +
+    MDCT + band energies), bit-identical to CeltEncoder's own path."""
+
+    def __init__(self, lm=LM):
+        self.mem = 0.0
+        self.in_mem = np.zeros(OV)
+        self.lm = lm
+        self.n = M.short_mdct_size << lm
+
+    def frame(self, pcm):
+        n = self.n
+        inp = pcm * 32768.0
+        out = np.empty(n)
+        mem = self.mem
+        for i in range(n):
+            out[i] = inp[i] - mem
+            mem = M.preemph * inp[i]
+        self.mem = mem
+        inb = np.concatenate([self.in_mem, out])
+        self.in_mem = inb[n:n + OV].copy()
+        spec = mdct_forward(inb[None, :], M.window)[0]
+        bandE = B_.compute_band_energies(M, spec[None, :], 21, self.lm)
+        bandLogE = E_.amp2_log2(M, 21, 21, bandE)
+        Xn = B_.normalise_bands(M, spec[None, :], bandE, 21,
+                                1 << self.lm)
+        return Xn[0], bandLogE[0]
+
+
+def _exec_plan(ops, pos, nbytes):
+    enc = RangeEncoder(int(nbytes))
+    for row in ops:
+        kind, a, b, c = (int(v) for v in row)
+        if kind < 0:
+            continue
+        if kind == be.bc.OP_ENCODE:
+            enc.encode(a, b, c)
+        elif kind == be.bc.OP_ENCODE_BIN:
+            enc.encode_bin(a, b, c)
+        elif kind == be.bc.OP_BIT_LOGP:
+            enc.enc_bit_logp(a, c)
+        elif kind == be.bc.OP_BITS:
+            enc.enc_bits(a, c)
+    enc.done()
+    assert not enc.get_error()
+    return enc.data(), enc.rng
+
+
+@pytest.mark.parametrize("lm,bitrate", [
+    (0, 24000), (0, 64000), (0, 128000),
+    pytest.param(1, 64000, marks=pytest.mark.skipif(
+        not HEAVY, reason="set OPUS_TPU_HEAVY=1 for larger frames")),
+    pytest.param(3, 64000, marks=pytest.mark.skipif(
+        not HEAVY, reason="set OPUS_TPU_HEAVY=1 for the 20 ms config")),
+])
+def test_plan_bytes_equal_scalar(lm, bitrate):
+    n = M.short_mdct_size << lm
+    with enable_x64():
+        rng = np.random.default_rng(2000 + bitrate)
+        Bn = 4
+        n_frames = 3
+        nbytes = be.cbr_bytes(bitrate, n, 48000, 1275)
+
+        encs = []
+        for b in range(Bn):
+            e = CeltEncoder(48000, 1)
+            e.complexity = 0
+            e.vbr = False
+            e.bitrate = bitrate
+            encs.append(e)
+        xfs = [ScalarTransform(lm) for _ in range(Bn)]
+        state = be.init_state(Bn, dtype=jnp.float64)
+
+        t = np.arange(n) / 48000.0
+        mismatches = []
+        for fi in range(n_frames):
+            Xs, logEs, pcms = [], [], []
+            for b in range(Bn):
+                f0 = 150 + 170 * b + 60 * fi
+                pcm = (0.4 * np.sin(2 * np.pi * f0 * (t + fi * 0.02))
+                       + (0.05 + 0.02 * b) * rng.standard_normal(n))
+                pcms.append(pcm)
+                Xb, logEb = xfs[b].frame(pcm)
+                Xs.append(np.asarray(Xb))
+                logEs.append(np.asarray(logEb))
+            X = jnp.asarray(np.stack(Xs))
+            logE = jnp.asarray(np.stack(logEs))
+
+            # eager: compiling the unrolled planner takes minutes on a
+            # small CPU; eager execution is exact and fast enough here
+            with jax.disable_jit():
+                c, state = be.plan_from_spectrum(
+                    X, logE, state, jnp.full((Bn,), nbytes, jnp.int32),
+                    jnp.zeros((Bn,), bool),
+                    jnp.full((Bn,), bitrate, jnp.int32), lm=lm,
+                    exact=True)
+            ops = np.asarray(c.ops)
+            pos = np.asarray(c.pos)
+
+            for b in range(Bn):
+                want = encs[b].encode_with_ec(pcms[b][None, :], n,
+                                              nbytes)
+                got, got_rng = _exec_plan(ops[b], None, nbytes)
+                if got != want:
+                    mismatches.append((fi, b))
+                else:
+                    assert got_rng == encs[b].rng
+                    if rt.native_available():
+                        gnat, rnat = rt.encode_plan(ops[b], nbytes)
+                        assert gnat == want
+                        assert rnat == encs[b].rng
+        assert not mismatches, f"byte mismatches at {mismatches}"
+
+
+def test_batch_state_matches_scalar():
+    """Carried state (oldBandE, delayedIntra, lastCodedBands) must track
+    the scalar encoder across frames."""
+    lm = 0
+    n = M.short_mdct_size << lm
+    with enable_x64():
+        rng = np.random.default_rng(7)
+        nbytes = be.cbr_bytes(64000, n, 48000, 1275)
+        e = CeltEncoder(48000, 1)
+        e.complexity = 0
+        e.vbr = False
+        e.bitrate = 64000
+        xf = ScalarTransform(lm)
+        state = be.init_state(1, dtype=jnp.float64)
+        t = np.arange(n) / 48000.0
+        for fi in range(4):
+            pcm = 0.3 * np.sin(2 * np.pi * (300 + 80 * fi) * t) \
+                + 0.05 * rng.standard_normal(n)
+            e.encode_with_ec(pcm[None, :], n, nbytes)
+            Xb, logEb = xf.frame(pcm)
+            with jax.disable_jit():
+                c, state = be.plan_from_spectrum(
+                    jnp.asarray(Xb)[None, :],
+                    jnp.asarray(logEb)[None, :],
+                    state, jnp.full((1,), nbytes, jnp.int32),
+                    jnp.zeros((1,), bool),
+                    jnp.full((1,), 64000, jnp.int32), lm=lm, exact=True)
+            np.testing.assert_allclose(np.asarray(state.oldBandE)[0],
+                                       e.oldBandE[0], rtol=0, atol=0)
+            assert int(state.lastCodedBands[0]) == e.lastCodedBands
+            np.testing.assert_allclose(float(state.delayedIntra[0]),
+                                       e.delayedIntra, rtol=0, atol=0)
+
+
+def test_jit_matches_eager():
+    """The jitted planner must produce the identical plan as eager
+    execution (same dtype): XLA compilation must not change results."""
+    lm = 0
+    n = M.short_mdct_size << lm
+    nbytes = be.cbr_bytes(64000, n, 48000, 1275)
+    rng = np.random.default_rng(3)
+    Bn = 4
+    X = rng.standard_normal((Bn, n)).astype(np.float32)
+    X /= np.linalg.norm(X, axis=1, keepdims=True)
+    logE = rng.uniform(-5, 8, (Bn, 21)).astype(np.float32)
+    state = be.init_state(Bn, dtype=jnp.float32)
+    args = (jnp.asarray(X), jnp.asarray(logE), state,
+            jnp.full((Bn,), nbytes, jnp.int32), jnp.zeros((Bn,), bool),
+            jnp.full((Bn,), 64000, jnp.int32))
+    with jax.disable_jit():
+        c_e, st_e = be.plan_from_spectrum(*args, lm=lm)
+    c_j, st_j = be.plan_from_spectrum_jit(*args, lm=lm)
+    np.testing.assert_array_equal(np.asarray(c_e.ops),
+                                  np.asarray(c_j.ops))
+    np.testing.assert_array_equal(np.asarray(c_e.rng),
+                                  np.asarray(c_j.rng))
+    np.testing.assert_array_equal(np.asarray(st_e.oldBandE),
+                                  np.asarray(st_j.oldBandE))
