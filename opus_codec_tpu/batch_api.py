@@ -19,29 +19,34 @@ from .bitstream import packet as pkt
 from .errors import OpusError
 from .types import Bandwidth, CodecMode
 
-__all__ = ["CeltBatchEncoder"]
+__all__ = ["CeltBatchEncoder", "CeltBatchDecoder"]
 
 
 class CeltBatchEncoder:
     """CELT-only batched encoder: B concurrent 48 kHz mono streams,
-    20 ms frames, CBR (the flagship batched pipeline; mirrors the
-    scalar Encoder's CELT mode at complexity 0).
+    CBR (the flagship batched pipeline; mirrors the scalar Encoder's
+    CELT mode at complexity 0).
 
-    encode(pcm [B, 960]) -> (packets: list[bytes], final_ranges).
+    encode(pcm [B, frame_size]) -> (packets: list[bytes], final_ranges).
     """
 
     def __init__(self, batch: int, bitrate: int = 64000,
-                 sample_rate: int = 48000, exact: bool = False):
+                 sample_rate: int = 48000, frame_size: int = 960,
+                 exact: bool = False):
         import jax.numpy as jnp
 
         from .celt import batch_encoder as be
         if sample_rate != 48000:
             raise OpusError.bad_arg("batched path is 48 kHz")
+        lm = {120: 0, 240: 1, 480: 2, 960: 3}.get(frame_size)
+        if lm is None:
+            raise OpusError.bad_arg("bad frame size")
         self._be = be
         self._jnp = jnp
         self.batch = batch
         self.bitrate = bitrate
-        self.frame_size = 960
+        self.frame_size = frame_size
+        self.lm = lm
         self.nbytes = be.cbr_bytes(bitrate, self.frame_size, sample_rate,
                                    1275)
         self.exact = exact
@@ -49,7 +54,7 @@ class CeltBatchEncoder:
         self.state = be.init_stream_state(batch, dtype=dtype)
         self._nbytes_dev = jnp.full((batch,), self.nbytes, jnp.int32)
         self._bitrate_dev = jnp.full((batch,), bitrate, jnp.int32)
-        self._toc = pkt.gen_toc(CodecMode.CELT_ONLY, 50,
+        self._toc = pkt.gen_toc(CodecMode.CELT_ONLY, 400 >> lm,
                                 Bandwidth.FULLBAND, 1)
         self.final_ranges = np.zeros(batch, np.uint64)
 
@@ -59,7 +64,7 @@ class CeltBatchEncoder:
         pcm = self._jnp.asarray(pcm)
         c, self.state = self._be.celt_encode_batch_plan_jit(
             pcm, self.state, self._nbytes_dev, self._bitrate_dev,
-            exact=self.exact)
+            lm=self.lm, exact=self.exact)
         return c
 
     def pack(self, c) -> Tuple[List[bytes], np.ndarray]:
@@ -99,3 +104,69 @@ class CeltBatchEncoder:
     def encode(self, pcm) -> List[bytes]:
         """PCM in, packets out (one device step + host packing)."""
         return self.pack(self.encode_step_device(pcm))[0]
+
+
+class CeltBatchDecoder:
+    """CELT-only batched decoder: B concurrent 48 kHz mono streams.
+
+    The host lane dry-parses each stream's frame symbols
+    (``celt.dec_parse``, final_range-checked against the scalar
+    decoder) and the device synthesizes PCM for the whole batch in one
+    jitted program (``celt.batch_decoder``).
+
+    decode(packets: list[bytes]) -> pcm [B, N] float.
+
+    Scope mirrors the batched pipeline's phase-1 space: mono long
+    blocks, tf_res == 0 (everything the batched encoder emits plus
+    low-complexity reference streams).  ``strict=False`` decodes
+    unsupported frames through the scalar path per stream instead of
+    raising.
+    """
+
+    def __init__(self, batch: int, frame_size: int = 960,
+                 sample_rate: int = 48000, strict: bool = True):
+        import jax.numpy as jnp
+
+        from .celt import batch_decoder as bdec
+        from .celt import dec_parse as dparse
+        if sample_rate != 48000:
+            raise OpusError.bad_arg("batched path is 48 kHz")
+        lm = {120: 0, 240: 1, 480: 2, 960: 3}.get(frame_size)
+        if lm is None:
+            raise OpusError.bad_arg("bad frame size")
+        self._bd = bdec
+        self._dp = dparse
+        self._jnp = jnp
+        self.batch = batch
+        self.frame_size = frame_size
+        self.lm = lm
+        self.strict = strict
+        self.state = bdec.init_dec_state(batch)
+        self.seeds = [0] * batch
+        self.final_ranges = np.zeros(batch, np.uint64)
+
+    def parse(self, packets: List[bytes]):
+        """Host half: dry symbol parse of B CELT frames.  ``packets``
+        are raw CELT frames (no TOC byte)."""
+        syms_list = []
+        for b, pkt in enumerate(packets):
+            s = self._dp.parse_frame(pkt, self.lm, seed=self.seeds[b])
+            if self.strict and (s.transient
+                                or int(np.abs(s.tf_res).max()) != 0):
+                raise OpusError.bad_arg(
+                    "frame outside the batched decoder's supported "
+                    "space (transient/tf); use strict=False")
+            self.seeds[b] = s.final_range
+            self.final_ranges[b] = s.final_range
+            syms_list.append(s)
+        stacked = self._dp.stack_syms(syms_list)
+        return {k: self._jnp.asarray(v) for k, v in stacked.items()}
+
+    def decode_step_device(self, syms):
+        """Device half: batched synthesis."""
+        pcm, self.state = self._bd.celt_decode_batch_jit(
+            syms, self.state, self.lm)
+        return pcm
+
+    def decode(self, packets: List[bytes]) -> np.ndarray:
+        return np.asarray(self.decode_step_device(self.parse(packets)))

@@ -1,0 +1,506 @@
+"""Batched CELT decoder — the device synthesis pass.
+
+Mirror of ``batch_encoder``: the host lane (``dec_parse``) extracts every
+symbol of each stream's frame into fixed-shape record arrays, and this
+module synthesizes PCM for the whole batch as one jitted jnp program —
+coarse/fine/finalise energy math, the placement-static band tree (CWRS
+index -> pulse vector, PVQ gain normalisation, spreading rotation as a
+pair of associative scans, noise/fold leaves with closed-form LCG
+jump-ahead, theta recombination), band denormalisation, IMDCT and
+deemphasis (``celt.batch``).
+
+Behavioural parity: /root/reference/opus/celt/celt_decoder.c:970-1365
+(celt_synthesis :382), bands.c:943-1231 (resynth direction), vq.c:47-141
+(exp_rotation, normalisation), cwrs.c:605-630 (cwrsi).  The scalar
+``celt.decoder.CeltDecoder`` is the tested ground truth.
+
+Scope (round 2): mono, long blocks, time_divide == 0 (tf_res <= 0 with
+no halving, i.e. tf_res == 0 everywhere), no transient frames — the
+full configuration space of the batched encoder plus low-complexity
+reference streams.  Short-block/tf variants are the next milestone.
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .batch import (deemphasis_batch, denormalise_batch, imdct_batch)
+from .batch_encoder import Tables, _bitexact_cos, make_tables
+from .dec_parse import (NODE_PVQ, NODE_SPLIT, NODE_ZERO, NodeTable,
+                        node_table)
+from .modes import EMEANS, PRED_COEF, BETA_COEF, BETA_INTRA, standard_mode
+
+_i32 = jnp.int32
+_u32 = jnp.uint32
+EPSILON = 1e-15
+SPREAD_NONE = 0
+
+# LCG constants (bands.c:61-65)
+_LCG_A = 1664525
+_LCG_C = 1013904223
+
+
+@lru_cache(maxsize=None)
+def _lcg_jump(n: int) -> Tuple[np.ndarray, np.ndarray]:
+    """(A[j], C[j]) with seed_j = A[j]*seed0 + C[j] mod 2^32, j=1..n."""
+    A = np.zeros(n, np.uint32)
+    C = np.zeros(n, np.uint32)
+    a, c = 1, 0
+    for j in range(n):
+        a = (a * _LCG_A) & 0xFFFFFFFF
+        c = (c * _LCG_A + _LCG_C) & 0xFFFFFFFF
+        A[j] = a
+        C[j] = c
+    return A, C
+
+
+def _lcg_seeds(seed0, n: int):
+    """[B] uint32 -> [B, n] uint32: the n successive LCG states."""
+    A, C = _lcg_jump(n)
+    s = seed0.astype(_u32)[:, None]
+    return (jnp.asarray(A)[None, :] * s + jnp.asarray(C)[None, :])
+
+
+@lru_cache(maxsize=None)
+def _stride2_of(length: int, stride: int = 1) -> int:
+    """vq.c:96-101."""
+    stride2 = 0
+    if length >= 8 * stride:
+        stride2 = 1
+        while (stride2 * stride2 + stride2) * stride + (stride >> 2) \
+                < length:
+            stride2 += 1
+    return stride2
+
+
+@lru_cache(maxsize=None)
+def _chains(L: int, st: int):
+    """Static chain layout of positions 0..L-1 with inner stride ``st``:
+    (idx [n_chains, maxlen] int32 with -1 padding)."""
+    chains = [list(range(r, L, st)) for r in range(st)]
+    maxlen = max(len(ch) for ch in chains)
+    idx = np.full((st, maxlen), -1, np.int32)
+    for r, ch in enumerate(chains):
+        idx[r, :len(ch)] = ch
+    return idx
+
+
+def _rotation1_fwd(X, c, s, st: int):
+    """First sweep of exp_rotation1 (vq.c:47-56) as an associative scan.
+
+    Sweep: for i in 0..L-st-1:  (x1, x2) = (X[i], X[i+st]);
+           X[i+st] = c*x2 + s*x1;  X[i] = c*x1 - s*x2   [x2 pristine]
+    Along each stride-st chain a_m: u_0 = a_0, u_{m+1} = c*a_{m+1} + s*u_m
+    (u_m = value of position m when read as x1), final:
+      X[m] = c*u_m - s*a_{m+1}  (m < M-1);   X[M-1] = u_{M-1}.
+    """
+    B, L = X.shape
+    idx = _chains(L, st)                      # [st, maxlen]
+    n_ch, ml = idx.shape
+    gat = jnp.asarray(np.where(idx < 0, 0, idx))
+    pad = jnp.asarray(idx < 0)
+    a = X[:, gat]                             # [B, n_ch, ml]
+    # u_m via associative scan: u_m = c*a_m + s*u_{m-1}; u_0 = a_0
+    cm = jnp.where(pad[None], 1.0, jnp.broadcast_to(s[:, None, None],
+                                                    a.shape))
+    cm = cm.at[:, :, 0].set(1.0)
+    add = jnp.where(pad[None], 0.0, c[:, None, None] * a)
+    add = add.at[:, :, 0].set(jnp.where(pad[None, :, 0], 0.0, a[:, :, 0]))
+
+    def comb(p, q):
+        return (p[0] * q[0], q[0] * p[1] + q[1])
+
+    _, u = jax.lax.associative_scan(comb, (cm, add), axis=2)
+    lens = (idx >= 0).sum(axis=1)             # [n_ch] static chain lengths
+    a_next = jnp.concatenate([a[:, :, 1:], jnp.zeros_like(a[:, :, :1])],
+                             axis=2)
+    out = c[:, None, None] * u - s[:, None, None] * a_next
+    is_last = jnp.asarray(
+        np.arange(ml)[None, :] == (lens - 1)[:, None])   # [n_ch, ml]
+    out = jnp.where(is_last[None], u, out)
+    # scatter back
+    flat_idx = np.where(idx < 0, L, idx).ravel()
+    res = jnp.zeros((B, L + 1), X.dtype).at[:, flat_idx].set(
+        out.reshape(B, -1), mode="drop")
+    return res[:, :L]
+
+
+def _rotation1_bwd(X, c, s, st: int):
+    """Second sweep (vq.c:57-66): for i in L-2st-1..0 descending:
+    X[i+st] = c*x2 + s*x1; X[i] = c*x1 - s*x2, where x2 = X[i+st] has
+    already been rewritten by step i+st (as its x1-slot).
+
+    Along a chain (descending): t_p = c*a_p - s*t_{p+st} for steps p in
+    range; final X[p] = c*t_p + s*a_{p-st} when step p-st ran, else t_p
+    when step p ran, else untouched.
+    """
+    B, L = X.shape
+    idx = _chains(L, st)
+    n_ch, ml = idx.shape
+    gat = jnp.asarray(np.where(idx < 0, 0, idx))
+    a = X[:, gat]                             # [B, n_ch, ml]
+    lens = (idx >= 0).sum(axis=1)             # [n_ch]
+    # steps run at positions p = chain index m with original position
+    # p_orig <= L-2st-1 → m <= m_last(chain). Compute per-chain m_last.
+    pos = np.where(idx < 0, 1 << 30, idx)
+    stepped = pos <= (L - 2 * st - 1)         # [n_ch, ml] static bool
+    # t_m = c*a_m - s*t_{m+1} on stepped region, t beyond = a (pristine
+    # read of x2 at the chain edge). Reverse-scan: with r_m over reversed
+    # order: t_m = c*a_m - s*t_{m+1}.
+    arev = a[:, :, ::-1]
+    steprev = stepped[:, ::-1]
+    cm = jnp.where(jnp.asarray(steprev)[None], -s[:, None, None], 0.0)
+    add = jnp.where(jnp.asarray(steprev)[None], c[:, None, None] * arev,
+                    arev)
+
+    def comb(p, q):
+        return (p[0] * q[0], q[0] * p[1] + q[1])
+
+    _, trev = jax.lax.associative_scan(comb, (cm, add), axis=2)
+    t = trev[:, :, ::-1]
+    # final values
+    a_prev = jnp.concatenate([jnp.zeros_like(a[:, :, :1]), a[:, :, :-1]],
+                             axis=2)
+    t_shift = t                                # t at this position
+    prev_stepped = np.concatenate(
+        [np.zeros((n_ch, 1), bool), stepped[:, :-1]], axis=1)
+    out = jnp.where(jnp.asarray(prev_stepped)[None],
+                    c[:, None, None] * t_shift
+                    + s[:, None, None] * a_prev,
+                    jnp.where(jnp.asarray(stepped)[None], t, a))
+    flat_idx = np.where(idx < 0, L, idx).ravel()
+    res = jnp.zeros((B, L + 1), X.dtype).at[:, flat_idx].set(
+        out.reshape(B, -1), mode="drop")
+    return res[:, :L]
+
+
+def exp_rotation_dec(X, K, spread, N: int):
+    """Inverse (decode-side) exp_rotation for blocks == 1 (vq.c:74-117,
+    direction < 0).  X: [B, N]; K, spread: [B].  Masked identity where
+    the rotation does not apply (2K >= N or spread == none)."""
+    dt = X.dtype
+    SPREAD_FACTOR = np.array([0, 15, 10, 5], np.int32)   # [none, l, n, a]
+    factor = jnp.asarray(SPREAD_FACTOR)[jnp.clip(spread, 0, 3)]
+    Kf = jnp.maximum(K, 1).astype(dt)
+    gain = jnp.asarray(float(N), dt) / (N + factor.astype(dt) * Kf)
+    theta = 0.5 * gain * gain
+    c = jnp.cos(0.5 * jnp.pi * theta).astype(dt)
+    s = jnp.cos(0.5 * jnp.pi * (1.0 - theta)).astype(dt)
+    st2 = _stride2_of(N, 1)
+    Y = X
+    if st2:
+        Y = _rotation1_bwd(_rotation1_fwd(Y, s, c, st2), s, c, st2)
+    Y = _rotation1_bwd(_rotation1_fwd(Y, c, s, 1), c, s, 1)
+    apply = (2 * K < N) & (spread != SPREAD_NONE)
+    return jnp.where(apply[:, None], Y, X)
+
+
+def cwrsi_batch(index, K, N: int, u_tab: np.ndarray):
+    """Codeword index -> pulse vector, batched (cwrs.c:605-630).
+
+    index: [B] uint32; K: [B] (>= 1 where used).  Returns iy [B, N]
+    int32.  u_tab rows are exact for every reachable (n, k)."""
+    B = index.shape[0]
+    u = jnp.asarray(u_tab)                     # uint32, exact rows
+    i = index.astype(_u32)
+    k = jnp.maximum(K, 0).astype(_i32)
+    ys = []
+    for pos in range(N):
+        ncur = N - pos
+        row = u[ncur]                          # [kmax+3] uint32
+        p = row[jnp.minimum(k + 1, row.shape[0] - 1)]
+        sgn = i >= p
+        i = i - jnp.where(sgn, p, np.uint32(0))
+        k0 = k
+        # largest k' <= k with U(ncur, k') <= i  (row is nondecreasing)
+        knew = jnp.searchsorted(row, i, side="right").astype(_i32) - 1
+        k = jnp.minimum(k0, knew)
+        k = jnp.maximum(k, 0)
+        i = i - row[k]
+        val = (k0 - k).astype(_i32)
+        ys.append(jnp.where(sgn, -val, val))
+    return jnp.stack(ys, axis=1)
+
+
+# ---------------------------------------------------------------------------
+# The placement-static band tree (bands.c:943-1105, resynth direction)
+#
+# TPU-first structure: the tree recursion is flattened.  Node *gains*
+# (accumulated theta factors) are a cheap level-by-level product over
+# the static tree; the expensive PVQ leaf decode (CWRS + normalise +
+# spreading rotation) runs once per DISTINCT node width over all nodes
+# of that width at once ([B * n_nodes_W, W] batches) — PVQ leaves
+# depend only on parsed symbols, never on other bands' spectra, so they
+# all run in parallel and scatter to their static placements.  Only the
+# noise/fold leaves (which read the `norm` folding history) stay in the
+# sequential per-band loop, as vectorized elementwise work.
+
+@lru_cache(maxsize=None)
+def _tree_meta(lm: int):
+    """parent / is-side-child / depth-level grouping / width grouping
+    for the static node table."""
+    tab = node_table(lm)
+    n = tab.n_nodes
+    parent = np.full(n, -1, np.int32)
+    is_side = np.zeros(n, np.int32)
+    for p in range(n):
+        c0, c1 = tab.node_child[p]
+        if c0 >= 0:
+            parent[c0] = p
+            parent[c1] = p
+            is_side[c1] = 1
+    levels = []
+    maxd = int(tab.node_depth.max())
+    for d in range(1, maxd + 1):
+        ids = np.nonzero(tab.node_depth == d)[0].astype(np.int32)
+        if len(ids):
+            levels.append(ids)
+    width_groups = {}
+    for j in range(n):
+        width_groups.setdefault(int(tab.node_n[j]), []).append(j)
+    width_groups = {w: np.asarray(ids, np.int32)
+                    for w, ids in width_groups.items() if w >= 2}
+    return tab, parent, is_side, levels, width_groups
+
+
+def _node_gains(syms, lm: int, dt):
+    """[B, n_nodes] accumulated theta gain per node (bands.c mid/side
+    recombination factors, applied top-down)."""
+    tab, parent, is_side, levels, _ = _tree_meta(lm)
+    itheta = syms["node_itheta"]
+    imid = jnp.where(itheta == 0, 32767,
+                     jnp.where(itheta == 16384, 0,
+                               _bitexact_cos(itheta)))
+    iside = jnp.where(itheta == 0, 0,
+                      jnp.where(itheta == 16384, 32767,
+                                _bitexact_cos(16384 - itheta)))
+    mid = (1.0 / 32768) * imid.astype(dt)
+    side = (1.0 / 32768) * iside.astype(dt)
+    B = itheta.shape[0]
+    gains = jnp.ones((B, tab.n_nodes), dt)
+    for ids in levels:
+        par = parent[ids]
+        fac = jnp.where(jnp.asarray(is_side[ids] == 1)[None, :],
+                        side[:, par], mid[:, par])
+        gains = gains.at[:, ids].set(gains[:, par] * fac)
+    return gains
+
+
+def synth_all_bands(syms, lm: int, start: int = 0, end: int = 21,
+                    dtype=jnp.float32):
+    """Reconstruct the unit-norm spectrum X [B, N] from parsed symbols
+    (quant_all_bands decode path, mono long blocks)."""
+    m = standard_mode()
+    tab, parent, is_side, levels, width_groups = _tree_meta(lm)
+    t = make_tables(lm, 1)
+    M = 1 << lm
+    e_bands = t.e_bands
+    B = syms["node_kind"].shape[0]
+    N_total = m.short_mdct_size << lm     # bins beyond band `end` stay 0
+    norm_len = M * int(e_bands[end - 1])
+    dt = dtype
+    kind = syms["node_kind"]
+    gains = _node_gains(syms, lm, dt)
+    node_base = tab.node_off + np.asarray(
+        [M * int(e_bands[tab.node_band[j]]) for j in range(tab.n_nodes)],
+        np.int32)
+
+    # ---- all PVQ leaves, one batch per distinct width
+    X = jnp.zeros((B, N_total), dt)
+    for W, ids in sorted(width_groups.items()):
+        nW = len(ids)
+        K = syms["node_k"][:, ids].reshape(B * nW)
+        idx = syms["node_index"][:, ids].reshape(B * nW)
+        iy = cwrsi_batch(idx, K, W, t.u_tab)        # [B*nW, W]
+        yy = jnp.sum((iy * iy).astype(dt), axis=1)
+        g = gains[:, ids].reshape(B * nW) \
+            / jnp.sqrt(jnp.maximum(yy, 1e-30))
+        Xp = iy.astype(dt) * g[:, None]
+        spread = jnp.broadcast_to(syms["spread"][:, None],
+                                  (B, nW)).reshape(B * nW)
+        Xp = exp_rotation_dec(Xp, K, spread, W)
+        sel = (kind[:, ids] == NODE_PVQ)
+        vals = jnp.where(sel.reshape(B * nW)[:, None], Xp, 0.0)
+        cols = (node_base[ids][:, None]
+                + np.arange(W)[None, :]).ravel()     # static, disjoint
+        X = X.at[:, cols].add(vals.reshape(B, nW, W).reshape(B, -1))
+
+    # ---- per band: noise/fold leaves (need `norm`), N==1, norm update
+    norm = jnp.zeros((B, norm_len), dt)
+    for i in range(start, end):
+        xlo = M * int(e_bands[i])
+        N = M * int(e_bands[i + 1]) - xlo
+        last = i == end - 1
+        if N == 1:
+            sgn = syms["sign_n1"][:, i]
+            x = jnp.where(sgn == 1, jnp.asarray(-1.0, dt),
+                          jnp.asarray(1.0, dt))
+            X = X.at[:, xlo].set(x)
+            if not last:
+                norm = norm.at[:, xlo].set(x)
+            continue
+        eff = syms["band_eff_lowband"][:, i]
+        has_lb = eff >= 0
+        effc = jnp.clip(eff, 0)
+        # zero/fold leaves of this band, grouped by width
+        band_ids = np.asarray(
+            [j for j in range(int(tab.band_first[i]),
+                              int(tab.band_first[i])
+                              + int(tab.band_count[i]))], np.int32)
+        by_w = {}
+        for j in band_ids:
+            w = int(tab.node_n[j])
+            if w >= 2:
+                by_w.setdefault(w, []).append(int(j))
+        for W, idsl in sorted(by_w.items()):
+            ids = np.asarray(idsl, np.int32)
+            nW = len(ids)
+            fill = syms["node_fill"][:, ids]         # [B, nW]
+            seeds = _lcg_seeds(
+                syms["node_seed"][:, ids].reshape(B * nW), W
+            ).reshape(B, nW, W)
+            noise = (seeds.astype(_i32) >> 20).astype(dt)
+            sign = jnp.where((seeds & np.uint32(0x8000)) != 0,
+                             jnp.asarray(1.0 / 256, dt),
+                             jnp.asarray(-1.0 / 256, dt))
+            offs = np.asarray(tab.node_off[ids], np.int32)
+            cols = (effc[:, None, None] + offs[None, :, None]
+                    + np.arange(W)[None, None, :])
+            lb = jnp.take_along_axis(
+                norm, cols.reshape(B, -1), axis=1).reshape(B, nW, W)
+            fold = lb + sign
+            base = jnp.where(has_lb[:, None, None], fold, noise)
+            e = EPSILON + jnp.sum(base * base, axis=2)
+            gz = gains[:, ids] / jnp.sqrt(e)
+            Xz = jnp.where(fill[:, :, None] != 0,
+                           base * gz[:, :, None], 0.0)
+            sel = (kind[:, ids] == NODE_ZERO)
+            vals = jnp.where(sel[:, :, None], Xz, 0.0)
+            ccols = (node_base[ids][:, None]
+                     + np.arange(W)[None, :]).ravel()
+            X = X.at[:, ccols].add(vals.reshape(B, -1))
+        if not last:
+            sq = jnp.asarray(float(np.sqrt(N)), dt)
+            norm = norm.at[:, xlo:xlo + N].set(sq * X[:, xlo:xlo + N])
+    return X
+
+
+# ---------------------------------------------------------------------------
+# Energy symbol math (quant_bands.c:428-542, device side)
+
+def unquant_coarse_batch(qi, oldBandE, intra, lm: int, start: int,
+                         end: int):
+    dt = oldBandE.dtype
+    coef = jnp.where(intra, jnp.asarray(0.0, dt),
+                     jnp.asarray(PRED_COEF[lm], dt))
+    beta = jnp.where(intra, jnp.asarray(BETA_INTRA, dt),
+                     jnp.asarray(BETA_COEF[lm], dt))
+    prev = jnp.zeros(oldBandE.shape[:1], dt)
+    old = oldBandE
+    for i in range(start, end):
+        q = qi[:, i].astype(dt)
+        oldE = jnp.maximum(jnp.asarray(-9.0, dt), old[:, i])
+        tmp = coef * oldE + prev + q
+        old = old.at[:, i].set(tmp)
+        prev = prev + q - beta * q
+    return old
+
+
+def unquant_fine_batch(oldBandE, fine_q, fine_bits, start: int, end: int):
+    dt = oldBandE.dtype
+    for i in range(start, end):
+        has = (fine_bits[:, i] > 0) & (fine_q[:, i] >= 0)
+        offset = ((fine_q[:, i].astype(dt) + 0.5)
+                  * (1 << (14 - fine_bits[:, i])).astype(dt)
+                  / 16384.0 - 0.5)
+        oldBandE = oldBandE.at[:, i].add(jnp.where(has, offset, 0.0))
+    return oldBandE
+
+
+def unquant_finalise_batch(oldBandE, finalise, fine_bits, start: int,
+                           end: int):
+    dt = oldBandE.dtype
+    for prio in range(2):
+        for i in range(start, end):
+            q2 = finalise[:, prio, i]
+            has = q2 >= 0
+            offset = ((q2.astype(dt) - 0.5)
+                      * (1 << (14 - fine_bits[:, i] - 1)).astype(dt)
+                      / 16384.0)
+            oldBandE = oldBandE.at[:, i].add(jnp.where(has, offset, 0.0))
+    return oldBandE
+
+
+# ---------------------------------------------------------------------------
+# Frame-level batched decode
+
+class CeltDecState(NamedTuple):
+    """Carried per-stream decoder state (pytree of [B, ...] arrays)."""
+    oldBandE: jnp.ndarray       # [B, nb]
+    oldLogE: jnp.ndarray
+    oldLogE2: jnp.ndarray
+    backgroundLogE: jnp.ndarray
+    preemph_memD: jnp.ndarray   # [B]
+    syn_tail: jnp.ndarray       # [B, overlap//2]
+
+
+def init_dec_state(B: int, nb: int = 21, dtype=jnp.float32
+                   ) -> CeltDecState:
+    z = jnp.zeros((B, nb), dtype)
+    return CeltDecState(
+        oldBandE=z, oldLogE=z - 28.0, oldLogE2=z - 28.0,
+        backgroundLogE=z - 28.0,
+        preemph_memD=jnp.zeros((B,), dtype),
+        syn_tail=jnp.zeros((B, standard_mode().overlap // 2), dtype))
+
+
+def celt_decode_batch(syms, st: CeltDecState, lm: int,
+                      start: int = 0, end: int = 21):
+    """One frame for a batch of mono 48 kHz streams.
+
+    ``syms``: dict of [B, ...] arrays from dec_parse.stack_syms (device
+    arrays or numpy).  Returns (pcm [B, N], new_state)."""
+    dt = st.oldBandE.dtype
+    m = standard_mode()
+    M = 1 << lm
+    B = st.oldBandE.shape[0]
+
+    oldBandE = unquant_coarse_batch(syms["qi"], st.oldBandE,
+                                    syms["intra"], lm, start, end)
+    oldBandE = unquant_fine_batch(oldBandE, syms["fine_q"],
+                                  syms["fine_bits"], start, end)
+
+    X = synth_all_bands(syms, lm, start, end, dtype=dt)
+
+    oldBandE = unquant_finalise_batch(oldBandE, syms["finalise"],
+                                      syms["fine_bits"], start, end)
+
+    silence = syms["silence"]
+    oldBandE = jnp.where(silence[:, None], jnp.asarray(-28.0, dt),
+                         oldBandE)
+
+    freq = denormalise_batch(X, oldBandE, lm)
+    freq = jnp.where(silence[:, None], 0.0, freq)
+    frame, tail = imdct_batch(freq, st.syn_tail, 1)
+    pcm, memD = deemphasis_batch(frame, st.preemph_memD)
+
+    transient = syms["transient"]
+    oldLogE2 = jnp.where(transient[:, None], st.oldLogE2, st.oldLogE)
+    oldLogE = jnp.where(transient[:, None],
+                        jnp.minimum(st.oldLogE, oldBandE), oldBandE)
+    max_bg_inc = jnp.asarray(min(160, M) * 0.001, dt)
+    backgroundLogE = jnp.minimum(st.backgroundLogE + max_bg_inc, oldBandE)
+
+    new_st = CeltDecState(
+        oldBandE=oldBandE, oldLogE=oldLogE, oldLogE2=oldLogE2,
+        backgroundLogE=backgroundLogE, preemph_memD=memD, syn_tail=tail)
+    return pcm, new_st
+
+
+celt_decode_batch_jit = jax.jit(
+    celt_decode_batch, static_argnames=("lm", "start", "end"))

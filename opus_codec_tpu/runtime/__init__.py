@@ -41,12 +41,17 @@ def _build() -> Optional[ctypes.CDLL]:
                          f"opus_codec_tpu_ec_lane_{tag}.so")
     if not os.path.exists(cache):
         cc = os.environ.get("CC", "cc")
-        try:
-            subprocess.run(
-                [cc, "-O2", "-shared", "-fPIC", "-o", cache + ".tmp", src],
-                check=True, capture_output=True)
-            os.replace(cache + ".tmp", cache)
-        except (subprocess.CalledProcessError, FileNotFoundError):
+        for flags in (["-O2", "-shared", "-fPIC", "-fopenmp"],
+                      ["-O2", "-shared", "-fPIC"]):
+            try:
+                subprocess.run(
+                    [cc, *flags, "-o", cache + ".tmp", src],
+                    check=True, capture_output=True)
+                os.replace(cache + ".tmp", cache)
+                break
+            except (subprocess.CalledProcessError, FileNotFoundError):
+                continue
+        else:
             return None
     try:
         lib = ctypes.CDLL(cache)
@@ -64,6 +69,11 @@ def _build() -> Optional[ctypes.CDLL]:
     lib.ec_encode_plan_batch.argtypes = [
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int, ctypes.c_void_p,
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p]
+    lib.ec_encode_plan_batch_strided.restype = ctypes.c_int
+    lib.ec_encode_plan_batch_strided.argtypes = [
+        ctypes.c_void_p, ctypes.c_int, ctypes.c_void_p, ctypes.c_int,
+        ctypes.c_void_p, ctypes.c_int, ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_void_p]
     return lib
 
 

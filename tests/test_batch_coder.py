@@ -108,7 +108,7 @@ def test_plan_coder_matches_scalar_trajectory_and_bytes():
 
     # byte check: replay each stream's plan through a fresh scalar coder
     # and through the native C packer
-    ops_np = np.asarray(c.ops)
+    ops_np = np.asarray(bc.finalize(c).ops)
     for b in range(B):
         replay = RangeEncoder(1275)
         for row in ops_np[b]:
