@@ -51,29 +51,46 @@ _NMIN = 16
 class PlanCoder(NamedTuple):
     """Per-stream coder model + plan buffer (a pytree of [B,...] arrays).
 
-    Plan rows are written at *static* slots (one per emission call site,
+    Plan rows live at *static* slots (one per emission call site,
     assigned at trace time) — masked-off rows carry kind == -1 (NOP) and
-    are skipped by every plan executor.  This keeps emission free of
-    gather/scatter and the compiled graph small; ``pos`` counts valid
+    are skipped by every plan executor.  During tracing ``ops`` is a
+    tuple of [B, 4] rows (appending is free at trace time — no scatters
+    in the compiled graph); ``finalize`` stacks it into the
+    [B, n_slots, 4] array the host lane consumes.  ``pos`` counts valid
     rows (for diagnostics)."""
     rng: jnp.ndarray           # [B] uint32
     nbits_total: jnp.ndarray   # [B] int32
     pos: jnp.ndarray           # [B] int32 — number of valid rows
-    ops: jnp.ndarray           # [B, MAXOPS, 4] int32, kind -1 = NOP
+    ops: tuple                 # trace: tuple of [B, 4]; final: [B, n, 4]
 
 
-_SLOT = [0]
-
-
-def plan_init(B: int, max_ops: int) -> PlanCoder:
-    _SLOT[0] = 0
-    ops = jnp.full((B, max_ops, 4), -1, jnp.int32)
+def plan_init(B: int, max_ops: int = 0) -> PlanCoder:
+    """``max_ops`` is ignored (kept for call-site compat): the plan
+    grows one static slot per emission call site."""
     return PlanCoder(
         rng=jnp.full((B,), CODE_TOP, jnp.uint32),
         nbits_total=jnp.full((B,), CODE_BITS + 1, jnp.int32),
         pos=jnp.zeros((B,), jnp.int32),
-        ops=ops,
+        ops=(),
     )
+
+
+def finalize(c: PlanCoder) -> PlanCoder:
+    """Concatenate the traced rows/blocks into the [B, n_slots, 4]
+    plan array.  ``ops`` elements are [B, 4] single rows (one call
+    site) or [B, k, 4] blocks (emitted by in-scan code via
+    ``append_block``)."""
+    if isinstance(c.ops, tuple):
+        blocks = [o[:, None, :] if o.ndim == 2 else o for o in c.ops]
+        return c._replace(ops=jnp.concatenate(blocks, axis=1))
+    return c
+
+
+def append_block(c: PlanCoder, block, nrows) -> PlanCoder:
+    """Append a pre-built [B, k, 4] row block (rows with kind == -1 are
+    NOPs).  ``nrows``: [B] count of valid rows in the block."""
+    return c._replace(pos=c.pos + nrows.astype(jnp.int32),
+                      ops=c.ops + (block,))
 
 
 def ec_ilog(v):
@@ -111,14 +128,92 @@ def _normalize(rng, nbt):
     return rng, nbt
 
 
+# ---------------------------------------------------------------------------
+# Row-level (rng, nbits_total) primitives — for emission inside lax.scan
+# bodies, where the trace-time ops tuple cannot grow per iteration.  The
+# PlanCoder-level functions below delegate to these.
+
+def tell_rn(rng, nbt):
+    return nbt - ec_ilog(rng)
+
+
+def tell_frac_rn(rng, nbt):
+    nbits = nbt << BITRES
+    l = ec_ilog(rng)
+    r = (rng >> (l - 16).astype(jnp.uint32)).astype(jnp.int32)
+    b = (r >> 12) - 8
+    tbl = jnp.asarray(_TELL_TBL)
+    b = b + (r > tbl[jnp.clip(b, 0, 7)]).astype(jnp.int32)
+    return nbits - ((l << 3) + b)
+
+
+def _row(mask, kind, a, b, d):
+    B = mask.shape[0]
+    return jnp.stack([
+        jnp.where(mask, jnp.asarray(kind, jnp.int32),
+                  jnp.int32(-1)).astype(jnp.int32),
+        jnp.broadcast_to(jnp.asarray(a), (B,)).astype(jnp.int32),
+        jnp.broadcast_to(jnp.asarray(b), (B,)).astype(jnp.int32),
+        jnp.broadcast_to(jnp.asarray(d), (B,)).astype(jnp.int32),
+    ], axis=-1)
+
+
+def encode_rn(rng, nbt, mask, fl, fh, ft):
+    """ec_encode on raw state; returns (rng', nbt', row [B, 4])."""
+    fl = jnp.asarray(fl, jnp.int32)
+    fh = jnp.asarray(fh, jnp.int32)
+    ft = jnp.asarray(ft, jnp.int32)
+    ftu = jnp.maximum(ft, 1).astype(jnp.uint32)
+    r = rng // ftu
+    rng1 = jnp.where(fl > 0,
+                     r * (fh - fl).astype(jnp.uint32),
+                     rng - r * (ft - fh).astype(jnp.uint32))
+    rng1, nbt1 = _normalize(rng1, nbt)
+    return (jnp.where(mask, rng1, rng), jnp.where(mask, nbt1, nbt),
+            _row(mask, OP_ENCODE, fl, fh, ft))
+
+
+def bit_logp_rn(rng, nbt, mask, val, logp):
+    val = jnp.asarray(val, jnp.int32)
+    logp = jnp.asarray(logp, jnp.int32)
+    s = rng >> logp.astype(jnp.uint32)
+    r = rng - s
+    rng1 = jnp.where(val != 0, s, r)
+    rng1, nbt1 = _normalize(rng1, nbt)
+    return (jnp.where(mask, rng1, rng), jnp.where(mask, nbt1, nbt),
+            _row(mask, OP_BIT_LOGP, val, 0, logp))
+
+
+def bits_rn(rng, nbt, mask, val, nbits):
+    val = jnp.asarray(val, jnp.int32)
+    nbits = jnp.asarray(nbits, jnp.int32)
+    return (rng, nbt + jnp.where(mask, nbits, 0),
+            _row(mask, OP_BITS, val, 0, nbits))
+
+
+def uint_rn(rng, nbt, mask, fl, ft):
+    """ec_enc_uint on raw state; returns (rng', nbt', row1, row2)."""
+    fl = jnp.asarray(fl).astype(jnp.uint32)
+    ft = jnp.asarray(ft).astype(jnp.uint32) - np.uint32(1)
+    ftb = ec_ilog(ft)
+    split = ftb > UINT_BITS
+    ftb_lo = jnp.where(split, ftb - UINT_BITS, 0).astype(jnp.uint32)
+    ftop = (ft >> ftb_lo) + np.uint32(1)
+    fltop = fl >> ftb_lo
+    a = jnp.where(split, fltop, fl).astype(jnp.int32)
+    t = jnp.where(split, ftop, ft + np.uint32(1)).astype(jnp.int32)
+    rng, nbt, row1 = encode_rn(rng, nbt, mask, a, a + 1, t)
+    lsbs = (fl & ((np.uint32(1) << ftb_lo) - np.uint32(1))) \
+        .astype(jnp.int32)
+    rng, nbt, row2 = bits_rn(rng, nbt, mask & split, lsbs,
+                             ftb_lo.astype(jnp.int32))
+    return rng, nbt, row1, row2
+
+
 def _emit(c: PlanCoder, mask, kind, a, b, d) -> PlanCoder:
-    """Write one plan row at this call site's static slot (NOP where
+    """Append one plan row at this call site's static slot (NOP where
     the mask is off)."""
     B = c.pos.shape[0]
-    slot = _SLOT[0]
-    _SLOT[0] = slot + 1
-    if slot >= c.ops.shape[1]:
-        raise AssertionError("plan buffer too small; raise MAX_OPS")
     row = jnp.stack([
         jnp.where(mask, jnp.asarray(kind, jnp.int32),
                   jnp.int32(-1)).astype(jnp.int32),
@@ -126,9 +221,8 @@ def _emit(c: PlanCoder, mask, kind, a, b, d) -> PlanCoder:
         jnp.broadcast_to(jnp.asarray(b), (B,)).astype(jnp.int32),
         jnp.broadcast_to(jnp.asarray(d), (B,)).astype(jnp.int32),
     ], axis=-1)
-    ops = c.ops.at[:, slot, :].set(row)
     pos = c.pos + mask.astype(jnp.int32)
-    return c._replace(pos=pos, ops=ops)
+    return c._replace(pos=pos, ops=c.ops + (row,))
 
 
 def encode(c: PlanCoder, mask, fl, fh, ft) -> PlanCoder:

@@ -215,34 +215,54 @@ def dynalloc_coding(c: PlanCoder, offsets_steps, caps, total_bits_q3,
                     lm: int, C: int, start: int, end: int,
                     e_bands: np.ndarray):
     """offsets_steps: [B, nb] int32 — boost step counts from
-    dynalloc_analysis.  Returns (coder, offsets_q3 [B, nb], tot_boost)."""
+    dynalloc_analysis.  Returns (coder, offsets_q3 [B, nb], tot_boost).
+
+    The per-band boost-flag walk runs as a ``lax.scan`` over steps
+    (compile-friendly: one body per band instead of up to 34 unrolled
+    bit_logp call sites)."""
     B = offsets_steps.shape[0]
     dynalloc_logp = jnp.full((B,), 6, _i32)
     total_boost = jnp.zeros((B,), _i32)
     offsets_q3 = jnp.zeros_like(offsets_steps)
     tf = bc.tell_frac(c)
+    rng, nbt = c.rng, c.nbits_total
     for i in range(start, end):
         width = C * int(e_bands[i + 1] - e_bands[i]) << lm
         quanta = min(width << BITRES, max(6 << BITRES, width))
-        loop_logp = dynalloc_logp
-        boost = jnp.zeros((B,), _i32)
-        done = jnp.zeros((B,), bool)
         nsteps = min(int(caps[i]) // quanta + 1, 34)
-        for j in range(nsteps):
-            room = tf + (loop_logp << BITRES) < total_bits_q3 - total_boost
-            active = room & (boost < int(caps[i])) & ~done
-            flag = (j < offsets_steps[:, i]).astype(_i32)
-            c = bc.bit_logp(c, active, flag, loop_logp)
-            tf = jnp.where(active, bc.tell_frac(c), tf)
+        cap_i = int(caps[i])
+        steps_i = offsets_steps[:, i]
+
+        def body(carry, j):
+            rng, nbt, tf, loop_logp, boost, total_boost, done = carry
+            room = tf + (loop_logp << BITRES) \
+                < total_bits_q3 - total_boost
+            active = room & (boost < cap_i) & ~done
+            flag = (j < steps_i).astype(_i32)
+            rng, nbt, row = bc.bit_logp_rn(rng, nbt, active, flag,
+                                           loop_logp)
+            tf = jnp.where(active, bc.tell_frac_rn(rng, nbt), tf)
             hit = active & (flag == 1)
             boost = boost + jnp.where(hit, quanta, 0)
             total_boost = total_boost + jnp.where(hit, quanta, 0)
             loop_logp = jnp.where(hit, 1, loop_logp)
             done = done | (active & (flag == 0)) | ~active
+            return (rng, nbt, tf, loop_logp, boost, total_boost,
+                    done), row
+
+        carry0 = (rng, nbt, tf, dynalloc_logp,
+                  jnp.zeros((B,), _i32), total_boost,
+                  jnp.zeros((B,), bool))
+        (rng, nbt, tf, _, boost, total_boost, _), rows = jax.lax.scan(
+            body, carry0, jnp.arange(nsteps, dtype=_i32))
+        block = rows.transpose(1, 0, 2)             # [B, nsteps, 4]
+        c = bc.append_block(c, block,
+                            jnp.sum(block[:, :, 0] != -1, axis=1))
         coded_any = boost > 0
         dynalloc_logp = jnp.where(
             coded_any, jnp.maximum(2, dynalloc_logp - 1), dynalloc_logp)
         offsets_q3 = offsets_q3.at[:, i].set(boost)
+    c = c._replace(rng=rng, nbits_total=nbt)
     return c, offsets_q3, total_boost
 
 
@@ -667,194 +687,409 @@ def icwrs_batch(iy, u_tab):
 
 # ---------------------------------------------------------------------------
 # The mono band tree (bands.c:943-1105, encode / no-resynth)
+#
+# TPU-first restructuring: instead of unrolling the quant_partition
+# recursion into one XLA subgraph per node (which made compile time
+# explode with ~400 nodes at LM=3), the whole multi-band tree runs as a
+# SINGLE ``lax.scan`` over a static preorder node schedule
+# (``_band_schedule``).  The scan body is one generic node processor,
+# padded to the widest band; per-stream divergence (leaf vs split,
+# child order swaps, budgets) is data, gathered from per-node state
+# buffers written by parent steps.  The emitted plan rows land in a
+# [B, 3*n_steps, 4] block in exact coder order.
 
-def _leaf_pvq(c: PlanCoder, rem, Xb, off, b, active, i: int, N: int,
-              lm_k: int, t: Tables, exact: bool):
-    """No-split case of quant_partition: bits->pulses, PVQ, CWRS."""
-    cache_off = int(t.cache_index[(lm_k + 1) * len(t.log_n) + i])
-    maxq = int(t.cache_bits[cache_off])
-    row = jnp.asarray(t.cache_bits[cache_off:cache_off + maxq + 1])
-
-    # bits2pulses (modes.py:168-182): 6-step search on the cache row
-    bits_m1 = b - 1
-    lo = jnp.zeros_like(b)
-    hi = jnp.full_like(b, maxq)
-    for _ in range(6):                       # LOG_MAX_PSEUDO
-        mid = (lo + hi + 1) >> 1
-        ge = row[mid] >= bits_m1
-        hi = jnp.where(ge, mid, hi)
-        lo = jnp.where(ge, lo, mid)
-    lo_bits = jnp.where(lo == 0, -1, row[jnp.maximum(lo, 0)])
-    q = jnp.where(bits_m1 - lo_bits <= row[hi] - bits_m1, lo, hi)
-
-    def p2b(qv):
-        return jnp.where(qv == 0, 0, row[qv] + 1)
-
-    curr = p2b(q)
-    rem2 = jnp.where(active, rem - curr, rem)
-
-    def _fix(_, st):
-        rem2, q, curr = st
-        fix = active & (rem2 < 0) & (q > 0)
-        rem2 = jnp.where(fix, rem2 + curr, rem2)
-        q = q - fix.astype(_i32)
-        curr = jnp.where(fix, p2b(q), curr)
-        rem2 = jnp.where(fix, rem2 - curr, rem2)
-        return rem2, q, curr
-
-    rem2, q, curr = jax.lax.fori_loop(0, min(maxq, 40), _fix,
-                                      (rem2, q, curr))
-    rem = rem2
-
-    kmax = get_pulses(maxq)
-    K = jnp.where(q < 8, q, (8 + (q & 7)) << jnp.maximum((q >> 3) - 1, 0))
-    code = active & (q > 0)
-    # gather the node's segment, zero-padded outside its width
-    cols = off[:, None] + jnp.arange(N)[None, :]
-    Xseg = jnp.take_along_axis(Xb, cols, axis=1)
-    iy = pvq_search_batch(Xseg, jnp.maximum(K, 1), kmax, exact)
-    idx, v = icwrs_batch(iy, t.u_tab)
-    c = bc.uint(c, code, idx, jnp.maximum(v, np.uint32(2)))
-    return c, rem
+class _Sched(NamedTuple):
+    """Static preorder schedule over all nodes of all coded bands."""
+    n_steps: int
+    NBmax: int
+    rowlen: int
+    band: np.ndarray        # [n] band index
+    xlo: np.ndarray         # [n] spectrum base of the band
+    is_root: np.ndarray     # [n] 1 at each band's first node
+    is_n1: np.ndarray       # [n] 1 for width-1 bands (sign path)
+    first_band: np.ndarray  # [n] 1 iff band == start
+    N: np.ndarray           # [n] node width
+    can_split: np.ndarray   # [n]
+    parent: np.ndarray      # [n] node id (-1 root)
+    is_second: np.ndarray   # [n]
+    cache_row: np.ndarray   # [n, rowlen] bits cache (padded with last)
+    maxq: np.ndarray        # [n]
+    thresh: np.ndarray      # [n] split threshold
+    pulse_cap: np.ndarray   # [n] for compute_qn at this node's split
 
 
-def _theta_split(c: PlanCoder, rem, Xb, off, b, split, i: int,
-                 N_half: int, lm_child: int, t: Tables, exact: bool):
-    """compute_theta for a mono split (bands.c:700-903, stereo=0,
-    B0==1 triangular pdf).  Returns (coder, rem, b', mbits, sbits,
-    itheta_q14)."""
-    dt = Xb.dtype
-    pulse_cap = int(t.log_n[i]) + lm_child * (1 << BITRES)
-    offset = (pulse_cap >> 1) - QTHETA_OFFSET
-    qn = _compute_qn(N_half, b, offset, pulse_cap)
+@lru_cache(maxsize=None)
+def _band_schedule(lm: int, start: int, end: int) -> _Sched:
+    m = standard_mode()
+    t = make_tables(lm, 1)
+    nb = m.nb_ebands
+    M = 1 << lm
+    recs = []
 
-    cols = off[:, None] + jnp.arange(2 * N_half)[None, :]
-    seg = jnp.take_along_axis(Xb, cols, axis=1)
-    mid, side = seg[:, :N_half], seg[:, N_half:]
-    emid = jnp.asarray(EPSILON, dt) + _seq_sum(mid * mid, exact)
-    eside = jnp.asarray(EPSILON, dt) + _seq_sum(side * side, exact)
-    itheta_raw = jnp.floor(
-        0.5 + 16384 * (2 / math.pi)
-        * jnp.arctan2(jnp.sqrt(eside), jnp.sqrt(emid))).astype(_i32)
+    def add(band, xlo, is_root, is_n1, N, lmk, parent, is_second):
+        can_split = int(lmk != -1 and N > 2)
+        if is_n1:
+            cache_off, maxq, thresh, pcap = 0, 0, 0, 0
+        else:
+            cache_off = int(t.cache_index[(lmk + 1) * nb + band])
+            maxq = int(t.cache_bits[cache_off])
+            thresh = int(t.cache_bits[cache_off + maxq]) + 12 \
+                if can_split else 0
+            pcap = int(t.log_n[band]) + (lmk - 1) * (1 << BITRES)
+        recs.append(dict(band=band, xlo=xlo, is_root=is_root,
+                         is_n1=is_n1, N=N, lmk=lmk, parent=parent,
+                         is_second=is_second, can_split=can_split,
+                         cache_off=cache_off, maxq=maxq, thresh=thresh,
+                         pcap=pcap))
+        idx = len(recs) - 1
+        if can_split:
+            half = N >> 1
+            add(band, xlo, 0, 0, half, lmk - 1, idx, 0)
+            add(band, xlo, 0, 0, half, lmk - 1, idx, 1)
+        return idx
 
-    tell0 = bc.tell_frac(c)
-    has_theta = split & (qn != 1)
-    itheta = (itheta_raw * qn + 8192) >> 14
-    # triangular pdf (bands.c:860-877, B0==1 && !stereo)
-    half = qn >> 1
-    ft = (half + 1) * (half + 1)
-    low = itheta <= half
-    fs = jnp.where(low, itheta + 1, qn + 1 - itheta)
-    fl = jnp.where(low, itheta * (itheta + 1) >> 1,
-                   ft - ((qn + 1 - itheta) * (qn + 2 - itheta) >> 1))
-    c = bc.encode(c, has_theta, fl, fl + fs, ft)
-    itheta_q14 = jnp.where(qn != 1, (itheta * 16384) // jnp.maximum(qn, 1),
-                           0)
-    qalloc = jnp.where(split, bc.tell_frac(c) - tell0, 0)
-    b = b - qalloc
-    rem = rem - qalloc
+    for i in range(start, end):
+        xlo = M * int(t.e_bands[i])
+        N = M * int(t.e_bands[i + 1] - t.e_bands[i])
+        add(i, xlo, 1, int(N == 1), N, lm, -1, 0)
 
-    imid = jnp.where(itheta_q14 == 0, 32767,
-                     jnp.where(itheta_q14 == 16384, 0,
-                               _bitexact_cos(itheta_q14)))
-    iside = jnp.where(itheta_q14 == 0, 0,
-                      jnp.where(itheta_q14 == 16384, 32767,
-                                _bitexact_cos(16384 - itheta_q14)))
-    delta = jnp.where(
-        itheta_q14 == 0, -16384,
-        jnp.where(itheta_q14 == 16384, 16384,
-                  _frac_mul16((N_half - 1) << 7,
-                              _bitexact_log2tan(iside, imid))))
-    half_b = b - delta
-    mbits = jnp.maximum(0, jnp.minimum(b, half_b // 2))
-    sbits = b - mbits
-    return c, rem, mbits, sbits, itheta_q14
+    n = len(recs)
+    NBmax = max(r["N"] for r in recs)
+    rowlen = max(r["maxq"] for r in recs) + 1
+    cache_rows = np.zeros((n, rowlen), np.int32)
+    for j, r in enumerate(recs):
+        if not r["is_n1"]:
+            row = t.cache_bits[r["cache_off"]:
+                               r["cache_off"] + r["maxq"] + 1]
+            cache_rows[j, :len(row)] = row
+            cache_rows[j, len(row):] = row[-1]
+
+    def arr(key, dt=np.int32):
+        return np.asarray([r[key] for r in recs], dt)
+
+    return _Sched(
+        n_steps=n, NBmax=NBmax, rowlen=rowlen,
+        band=arr("band"), xlo=arr("xlo"), is_root=arr("is_root"),
+        is_n1=arr("is_n1"),
+        first_band=np.asarray(
+            [int(r["band"] == start and r["is_root"]) for r in recs],
+            np.int32),
+        N=arr("N"), can_split=arr("can_split"), parent=arr("parent"),
+        is_second=arr("is_second"), cache_row=cache_rows,
+        maxq=arr("maxq"), thresh=arr("thresh"), pulse_cap=arr("pcap"))
 
 
-def _quant_partition_tree(c: PlanCoder, rem, Xb, off, b, active, i: int,
-                          N: int, lm_k: int, t: Tables, exact: bool):
-    """Static-unrolled quant_partition: leaf or theta-split; children
-    processed in per-stream (mbits >= sbits) order via offset selection.
-    All order divergence is per-stream masked — each stream follows
-    exactly one root-to-leaf path, so its plan rows stay in coder order.
-    """
-    nb = len(t.log_n)
-    can_split = lm_k != -1 and N > 2
-    if can_split:
-        cache_off = int(t.cache_index[(lm_k + 1) * nb + i])
-        thresh = int(t.cache_bits[cache_off
-                                  + int(t.cache_bits[cache_off])]) + 12
-        split = active & (b > thresh)
-    else:
-        split = jnp.zeros_like(active)
-    leaf = active & ~split
+def _seq_sum_masked(x, exact: bool):
+    """Σ over the last axis (padded entries must already be zero)."""
+    return _seq_sum(x, exact)
 
-    c, rem = _leaf_pvq(c, rem, Xb, off, b, leaf, i, N, lm_k, t, exact)
 
-    if can_split:
-        N_half = N >> 1
-        c, rem, mbits, sbits, itheta = _theta_split(
-            c, rem, Xb, off, b, split, i, N_half, lm_k - 1, t, exact)
-        swap = mbits < sbits            # side coded first
-        off_mid = off
-        off_side = off + N_half
-        first_off = jnp.where(swap, off_side, off_mid)
-        second_off = jnp.where(swap, off_mid, off_side)
-        first_b = jnp.where(swap, sbits, mbits)
-        rem_before = rem
-        c, rem = _quant_partition_tree(c, rem, Xb, first_off, first_b,
-                                       split, i, N_half, lm_k - 1, t,
-                                       exact)
-        rebalance = first_b - (rem_before - rem)
-        second_b = jnp.where(swap, mbits, sbits)
-        extra = rebalance - (3 << BITRES)
-        give = (extra > 0) & (itheta != jnp.where(swap, 16384, 0))
-        second_b = second_b + jnp.where(split & give, extra, 0)
-        c, rem = _quant_partition_tree(c, rem, Xb, second_off, second_b,
-                                       split, i, N_half, lm_k - 1, t,
-                                       exact)
-    return c, rem
+def _pvq_search_node(Xseg, K, valid, Nj, kmax_j, exact: bool):
+    """op_pvq_search on a width-padded segment.  Xseg [B, NBmax] with
+    zeros outside ``valid``; Nj, kmax_j: traced scalars for this step.
+    Mirrors pvq_search_batch (vq.c:165-328)."""
+    B, NB = Xseg.shape
+    dt = Xseg.dtype
+    sign = Xseg < 0
+    X = jnp.abs(Xseg)
+    do_proj = K > (Nj >> 1)
+    acc = _seq_sum(X, exact)
+    bad = ~((acc > EPSILON) & (acc < 64))
+    fix = do_proj & bad
+    onehot = jnp.zeros((B, NB), dt).at[:, 0].set(1.0)
+    X = jnp.where(fix[:, None], onehot, X)
+    acc = jnp.where(fix, jnp.asarray(1.0, dt), acc)
+    rcp = (K.astype(dt) + jnp.asarray(0.8, dt)) / acc
+    iy = jnp.where(do_proj[:, None],
+                   jnp.floor(rcp[:, None] * X), 0.0).astype(_i32)
+    yf = iy.astype(dt)
+    yy = _seq_sum(yf * yf, exact)
+    xy = _seq_sum(X * yf, exact)
+    y2 = 2.0 * yf
+    pulses_left = K - jnp.where(do_proj, jnp.sum(iy, axis=-1), 0)
+    dump = pulses_left > Nj + 3
+    tmpf = pulses_left.astype(dt)
+    yy = yy + jnp.where(dump, tmpf * tmpf + tmpf * y2[:, 0], 0.0)
+    iy = iy.at[:, 0].add(jnp.where(dump, pulses_left, 0))
+    y2 = y2.at[:, 0].add(jnp.where(dump, 2.0 * tmpf, 0.0))
+    pulses_left = jnp.where(dump, 0, pulses_left)
+
+    neg_inf = jnp.asarray(-jnp.inf, dt)
+
+    def body(_, carry):
+        iy, y2, xy, yy, left = carry
+        go = left > 0
+        yy1 = yy + 1.0
+        rxy = xy[:, None] + X
+        ryy = yy1[:, None] + y2
+        ratio = jnp.where(valid, (rxy * rxy) / ryy, neg_inf)
+        best = jnp.argmax(ratio, axis=-1)
+        bx = jnp.take_along_axis(X, best[:, None], 1)[:, 0]
+        by = jnp.take_along_axis(y2, best[:, None], 1)[:, 0]
+        xy2 = jnp.where(go, xy + bx, xy)
+        yy2 = jnp.where(go, yy1 + by, yy)
+        onehot_b = (jnp.arange(NB)[None, :] == best[:, None]) \
+            & go[:, None]
+        y2 = y2 + jnp.where(onehot_b, 2.0, 0.0)
+        iy = iy + onehot_b.astype(_i32)
+        return iy, y2, xy2, yy2, left - go.astype(_i32)
+
+    iters = jnp.minimum(kmax_j, Nj + 3)
+    iy, y2, xy, yy, pulses_left = jax.lax.fori_loop(
+        0, iters, body, (iy, y2, xy, yy, pulses_left))
+    return jnp.where(sign, -iy, iy)
+
+
+def _icwrs_node(iy, u, Nj):
+    """icwrs on a width-padded pulse vector: values occupy columns
+    [0, Nj); computed by rolling them to the tail so ``dim`` stays
+    NB - p (cwrs.c:440-461)."""
+    B, NB = iy.shape
+    iyr = jnp.roll(iy, NB - Nj, axis=1)
+    yl = jnp.abs(iyr[:, NB - 1])
+    idx = (iyr[:, NB - 1] < 0).astype(jnp.uint32)
+    k = yl
+
+    def body(jj, carry):
+        idx, k = carry
+        p = NB - 2 - jj
+        dim = NB - p
+        yj = jnp.take_along_axis(iyr, jnp.full((B, 1), p), 1)[:, 0]
+        idx = idx + u[dim, k]
+        k = k + jnp.abs(yj)
+        idx = idx + jnp.where(yj < 0, u[dim, k + 1], np.uint32(0))
+        return idx, k
+
+    idx, k = jax.lax.fori_loop(0, Nj - 1, body, (idx, k))
+    v = u[Nj, k] + u[Nj, k + 1]
+    return idx, v
 
 
 def quant_all_bands_batch(c: PlanCoder, X, pulses, coded_bands,
                           total_bits_q3, balance0, t: Tables, lm: int,
                           start: int, end: int, exact: bool):
-    """bands.c:1398-1672 encode path, mono, long blocks, no resynth.
+    """bands.c:1398-1672 encode path, mono, long blocks, no resynth —
+    one lax.scan over the static preorder node schedule.
 
     X: [B, Nfreq] normalised spectrum; pulses/coded_bands/balance0 from
     the allocation.  Returns the coder."""
-    M = 1 << lm
-    e_bands = t.e_bands
-    balance = balance0
-    for i in range(start, end):
-        xlo = M * int(e_bands[i])
-        N = M * int(e_bands[i + 1]) - xlo
-        tellf = bc.tell_frac(c)
-        if i != start:
-            balance = balance - tellf
-        remaining = total_bits_q3 - tellf - 1
-        den = jnp.minimum(3, coded_bands - i)
-        den = jnp.maximum(den, 1)
-        curr_balance = jnp.where(balance >= 0, balance // den,
-                                 -((-balance) // den))
-        b = jnp.clip(jnp.minimum(remaining + 1,
-                                 pulses[:, i] + curr_balance), 0, 16383)
-        active = i <= coded_bands - 1
-        b = jnp.where(active, b, 0)
-        Xb = X[:, xlo:xlo + N]
-        if N == 1:
-            # quant_band_n1 (bands.c:904-937, mono encode): one sign bit
-            # when the budget allows
-            has = active & (remaining >= (1 << BITRES))
-            sign = (Xb[:, 0] < 0).astype(_i32)
-            c = bc.bits(c, has, sign, 1)
-        else:
-            off0 = jnp.zeros(X.shape[0], _i32)
-            c, _ = _quant_partition_tree(
-                c, remaining, Xb, off0, b, active, i, N, lm, t, exact)
-        balance = balance + pulses[:, i] + tellf
-    return c
+    s = _band_schedule(lm, start, end)
+    B = X.shape[0]
+    NB = s.NBmax
+    dt = X.dtype
+    n = s.n_steps
+    u = jnp.asarray(t.u_tab)
+    Nfreq = X.shape[1]
+    col0 = np.arange(NB)
 
+    xs = {
+        "band": jnp.asarray(s.band), "xlo": jnp.asarray(s.xlo),
+        "is_root": jnp.asarray(s.is_root), "is_n1": jnp.asarray(s.is_n1),
+        "first_band": jnp.asarray(s.first_band),
+        "N": jnp.asarray(s.N), "can_split": jnp.asarray(s.can_split),
+        "parent": jnp.asarray(np.maximum(s.parent, 0)),
+        "has_parent": jnp.asarray((s.parent >= 0).astype(np.int32)),
+        "is_second": jnp.asarray(s.is_second),
+        "cache_row": jnp.asarray(s.cache_row),
+        "maxq": jnp.asarray(s.maxq), "thresh": jnp.asarray(s.thresh),
+        "pulse_cap": jnp.asarray(s.pulse_cap),
+        "node_id": jnp.arange(n, dtype=_i32),
+    }
+
+    zi = jnp.zeros((B, n), _i32)
+    carry0 = dict(
+        rng=c.rng, nbt=c.nbits_total, balance=balance0,
+        rem=jnp.zeros((B,), _i32),
+        off_arr=zi, split_arr=jnp.zeros((B, n), bool),
+        mbits_arr=zi, sbits_arr=zi, swap_arr=jnp.zeros((B, n), bool),
+        itheta_arr=zi, snap_arr=zi)
+
+    def step(cy, x):
+        rng, nbt = cy["rng"], cy["nbt"]
+        Nj = x["N"]
+        nid = x["node_id"]
+        is_root = x["is_root"] == 1
+        is_n1 = x["is_n1"] == 1
+
+        # ---- band entry (bands.c:1430-1470)
+        tellf = bc.tell_frac_rn(rng, nbt)
+        balance = jnp.where(is_root & (x["first_band"] == 0),
+                            cy["balance"] - tellf, cy["balance"])
+        remaining = total_bits_q3 - tellf - 1
+        den = jnp.maximum(jnp.minimum(3, coded_bands - x["band"]), 1)
+        curr_balance = jnp.where(
+            balance >= 0, balance // den, -((-balance) // den))
+        pulses_i = jnp.take_along_axis(
+            pulses, jnp.full((B, 1), x["band"]), 1)[:, 0]
+        act_band = x["band"] <= coded_bands - 1
+        b_root = jnp.clip(jnp.minimum(remaining + 1,
+                                      pulses_i + curr_balance), 0, 16383)
+        b_root = jnp.where(act_band, b_root, 0)
+        balance = jnp.where(is_root, balance + pulses_i + tellf, balance)
+
+        # ---- child state from the parent's buffers
+        par = x["parent"]
+
+        def g(name):
+            return jnp.take_along_axis(
+                cy[name], jnp.full((B, 1), par), 1)[:, 0]
+
+        p_off = g("off_arr")
+        p_split = g("split_arr")
+        p_mb = g("mbits_arr")
+        p_sb = g("sbits_arr")
+        p_sw = g("swap_arr")
+        p_it = g("itheta_arr")
+        p_snap = g("snap_arr")
+        is2 = x["is_second"] == 1
+        first_b = jnp.where(p_sw, p_sb, p_mb)
+        second_b = jnp.where(p_sw, p_mb, p_sb)
+        rebalance = first_b - (p_snap - cy["rem"])
+        extra = rebalance - (3 << BITRES)
+        give = (extra > 0) & (p_it != jnp.where(p_sw, 16384, 0))
+        b_child = jnp.where(is2,
+                            second_b + jnp.where(give, extra, 0),
+                            first_b)
+        # child offset: this node is parent's mid half unless swapped
+        off_child = jnp.where(is2 ^ p_sw, p_off + Nj, p_off)
+
+        b_in = jnp.where(is_root, b_root, b_child)
+        off_in = jnp.where(is_root, 0, off_child)
+        act_in = jnp.where(is_root, act_band, p_split)
+        rem_in = jnp.where(is_root, remaining, cy["rem"])
+
+        # ---- leaf / split decision
+        split = act_in & (x["can_split"] == 1) & (b_in > x["thresh"])
+        leaf = act_in & ~split & ~is_n1
+
+        # ---- gather this node's spectrum segment (zero-padded)
+        cols = x["xlo"] + off_in[:, None] + col0[None, :]
+        valid = col0[None, :] < Nj
+        seg = jnp.take_along_axis(
+            X, jnp.clip(cols, 0, Nfreq - 1), axis=1)
+        seg = jnp.where(valid, seg, jnp.asarray(0.0, dt))
+
+        # ---- leaf: bits->pulses, PVQ search, CWRS (vq.c, cwrs.c)
+        row = x["cache_row"]                       # [rowlen]
+        bits_m1 = b_in - 1
+        lo = jnp.zeros((B,), _i32)
+        hi = jnp.full((B,), 1, _i32) * x["maxq"]
+        for _ in range(6):                         # LOG_MAX_PSEUDO
+            mid = (lo + hi + 1) >> 1
+            ge = row[mid] >= bits_m1
+            hi = jnp.where(ge, mid, hi)
+            lo = jnp.where(ge, lo, mid)
+        lo_bits = jnp.where(lo == 0, -1, row[jnp.maximum(lo, 0)])
+        q = jnp.where(bits_m1 - lo_bits <= row[hi] - bits_m1, lo, hi)
+
+        def p2b(qv):
+            return jnp.where(qv == 0, 0, row[qv] + 1)
+
+        curr = p2b(q)
+        rem2 = jnp.where(leaf, rem_in - curr, rem_in)
+
+        def _fix(_, st):
+            rem2, q, curr = st
+            fx = leaf & (rem2 < 0) & (q > 0)
+            rem2 = jnp.where(fx, rem2 + curr, rem2)
+            q = q - fx.astype(_i32)
+            curr = jnp.where(fx, p2b(q), curr)
+            rem2 = jnp.where(fx, rem2 - curr, rem2)
+            return rem2, q, curr
+
+        rem2, q, curr = jax.lax.fori_loop(0, 40, _fix, (rem2, q, curr))
+
+        kmax_j = jnp.where(x["maxq"] < 8, x["maxq"],
+                           (8 + (x["maxq"] & 7))
+                           << jnp.maximum((x["maxq"] >> 3) - 1, 0))
+        K = jnp.where(q < 8, q,
+                      (8 + (q & 7)) << jnp.maximum((q >> 3) - 1, 0))
+        code = leaf & (q > 0)
+        iy = _pvq_search_node(seg, jnp.maximum(K, 1), valid, Nj,
+                              kmax_j, exact)
+        idx, v = _icwrs_node(iy, u, Nj)
+        rng, nbt, row1, row2 = bc.uint_rn(
+            rng, nbt, code, idx, jnp.maximum(v, np.uint32(2)))
+
+        # ---- split: compute_theta, mono B0==1 (bands.c:700-903)
+        N_half = Nj >> 1
+        offset_q = (x["pulse_cap"] >> 1) - QTHETA_OFFSET
+        qn = _compute_qn(N_half, b_in, offset_q, x["pulse_cap"])
+        in_mid = col0[None, :] < N_half
+        in_side = valid & ~in_mid & (col0[None, :] < 2 * N_half)
+        emid = jnp.asarray(EPSILON, dt) + _seq_sum(
+            jnp.where(in_mid, seg * seg, 0.0), exact)
+        eside = jnp.asarray(EPSILON, dt) + _seq_sum(
+            jnp.where(in_side, seg * seg, 0.0), exact)
+        itheta_raw = jnp.floor(
+            0.5 + 16384 * (2 / math.pi)
+            * jnp.arctan2(jnp.sqrt(eside), jnp.sqrt(emid))).astype(_i32)
+        tell0 = bc.tell_frac_rn(rng, nbt)
+        has_theta = split & (qn != 1)
+        itheta = (itheta_raw * qn + 8192) >> 14
+        half = qn >> 1
+        ft = (half + 1) * (half + 1)
+        low = itheta <= half
+        fs = jnp.where(low, itheta + 1, qn + 1 - itheta)
+        fl = jnp.where(low, itheta * (itheta + 1) >> 1,
+                       ft - ((qn + 1 - itheta) * (qn + 2 - itheta) >> 1))
+        rng, nbt, row0 = bc.encode_rn(rng, nbt, has_theta, fl, fl + fs,
+                                      ft)
+        itheta_q14 = jnp.where(qn != 1,
+                               (itheta * 16384) // jnp.maximum(qn, 1), 0)
+        qalloc = jnp.where(split,
+                           bc.tell_frac_rn(rng, nbt) - tell0, 0)
+        b_post = b_in - qalloc
+        rem_post = jnp.where(split, rem_in - qalloc, rem2)
+
+        imid = jnp.where(itheta_q14 == 0, 32767,
+                         jnp.where(itheta_q14 == 16384, 0,
+                                   _bitexact_cos(itheta_q14)))
+        iside = jnp.where(itheta_q14 == 0, 0,
+                          jnp.where(itheta_q14 == 16384, 32767,
+                                    _bitexact_cos(16384 - itheta_q14)))
+        delta = jnp.where(
+            itheta_q14 == 0, -16384,
+            jnp.where(itheta_q14 == 16384, 16384,
+                      _frac_mul16((N_half - 1) << 7,
+                                  _bitexact_log2tan(iside, imid))))
+        half_b = b_post - delta
+        mbits = jnp.maximum(0, jnp.minimum(b_post, half_b // 2))
+        sbits = b_post - mbits
+        swap = mbits < sbits
+
+        # ---- width-1 band: one sign bit (bands.c:904-937)
+        n1_has = is_n1 & act_in & (remaining >= (1 << BITRES))
+        sign = (seg[:, 0] < 0).astype(_i32)
+        rng, nbt, rowN1 = bc.bits_rn(rng, nbt, n1_has, sign, 1)
+        row0 = jnp.where(is_n1, rowN1, row0)
+
+        # ---- store this node's state for its children
+        def setcol(arr, valv):
+            return jax.lax.dynamic_update_slice(
+                arr, valv[:, None].astype(arr.dtype),
+                (jnp.int32(0), nid))
+
+        cy2 = dict(cy)
+        cy2["rng"], cy2["nbt"] = rng, nbt
+        cy2["balance"] = balance
+        cy2["rem"] = rem_post
+        cy2["off_arr"] = setcol(cy["off_arr"], off_in)
+        cy2["split_arr"] = setcol(cy["split_arr"], split)
+        cy2["mbits_arr"] = setcol(cy["mbits_arr"], mbits)
+        cy2["sbits_arr"] = setcol(cy["sbits_arr"], sbits)
+        cy2["swap_arr"] = setcol(cy["swap_arr"], swap)
+        cy2["itheta_arr"] = setcol(cy["itheta_arr"], itheta_q14)
+        cy2["snap_arr"] = setcol(cy["snap_arr"], rem_post)
+        rows = jnp.stack([row0, row1, row2], axis=1)   # [B, 3, 4]
+        return cy2, rows
+
+    cyf, rows = jax.lax.scan(step, carry0, xs)
+    block = rows.transpose(1, 0, 2, 3).reshape(B, 3 * n, 4)
+    c = c._replace(rng=cyf["rng"], nbits_total=cyf["nbt"])
+    c = bc.append_block(c, block,
+                        jnp.sum(block[:, :, 0] != -1, axis=1))
+    return c
 
 # ---------------------------------------------------------------------------
 # dynalloc_analysis (celt_encoder.c:981-1185, float, mono)
@@ -945,7 +1180,9 @@ def dynalloc_analysis_batch(bandLogE, oldBandE, effective_bytes,
     f = f.at[:, end - 1].set(jnp.maximum(f[:, end - 1], tmp))
     f = jnp.maximum(f, nf[None, :end])
 
-    fol = jnp.maximum(jnp.asarray(0.0, dt), x3 - f)
+    # NOTE: the subtraction uses the *raw* bandLogE, not the LM==0
+    # max-patched x3 (celt_encoder.c:1100 uses bandLogE, not bandLogE3)
+    fol = jnp.maximum(jnp.asarray(0.0, dt), bandLogE[:, :end] - f)
     if (not vbr) or constrained_vbr:
         fol = jnp.where(is_transient[:, None], fol,
                         jnp.asarray(0.5, dt) * fol)
@@ -1029,7 +1266,7 @@ def init_state(B: int, nb: int = 21, dtype=jnp.float32) -> CeltBatchState:
     z = jnp.zeros((B, nb), dtype)
     return CeltBatchState(
         oldBandE=z, oldLogE=z - 28.0, oldLogE2=z - 28.0,
-        energyError=z, delayedIntra=jnp.zeros((B,), dtype),
+        energyError=z, delayedIntra=jnp.ones((B,), dtype),
         spec_avg=jnp.zeros((B,), dtype),
         lastCodedBands=jnp.zeros((B,), _i32),
         consec_transient=jnp.zeros((B,), _i32))
@@ -1137,8 +1374,8 @@ def plan_from_spectrum(X, bandLogE, state: CeltBatchState, nbytes,
     c, oldBandE, error = energy_finalise(c, oldBandE, error, ebits,
                                          fine_pri, bits_left, start, end)
 
-    # trim the plan buffer to the slots actually allocated this trace
-    c = c._replace(ops=c.ops[:, :bc._SLOT[0]])
+    # stack the traced rows into the host lane's [B, n_slots, 4] array
+    c = bc.finalize(c)
 
     energyError = jnp.clip(error, -0.5, 0.5)
     oldBandE = jnp.where(silence[:, None],
