@@ -1,0 +1,121 @@
+"""Wrap-exact int32 fixed-point primitives for batched device code.
+
+SILK's decoder is *defined* in 32-bit integer arithmetic with two's-
+complement wraparound (silk/macros.h, SigProc_FIX.h — the scalar ground
+truth is ``silk.sigproc``).  These are the jnp equivalents, written so
+that every op stays in int32/uint32 — no int64 anywhere — because TPUs
+execute 32-bit integer lanes natively while 64-bit integer math is
+emulated.  The key identity (used by SMULWW/SMULWB): with
+``ah = a >> 16`` (arithmetic) and ``al = a & 0xFFFF``,
+
+    (a * b) >> 16  ==  ah*b + al*(b >> 16) + ((al*(b & 0xFFFF)) >> 16)
+
+holds modulo 2**32, with every product representable in 32 bits.
+
+All functions take/return int32 jnp arrays and broadcast like jnp ops.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+_i32 = jnp.int32
+_u32 = jnp.uint32
+
+INT32_MAX = np.int32(0x7FFFFFFF)
+INT32_MIN = np.int32(-0x80000000)
+
+__all__ = [
+    "wrap32", "sext16", "sat16", "smulwb", "smlawb", "smulbb", "smlabb",
+    "smulww", "smlaww", "rshift_round", "add_sat32", "lshift_sat32",
+    "silk_rand",
+]
+
+
+def _as32(x):
+    return jnp.asarray(x, _i32) if not hasattr(x, "dtype") \
+        else x.astype(_i32)
+
+
+def wrap32(x):
+    """Reinterpret any integer array as wrapped int32."""
+    x = jnp.asarray(x)
+    return x.astype(_u32).astype(_i32) if x.dtype != _i32 else x
+
+
+def sext16(x):
+    """Low 16 bits, sign-extended (the ``(opus_int16)`` cast)."""
+    return (_as32(x) << 16) >> 16
+
+
+def sat16(x):
+    return jnp.clip(x, -32768, 32767)
+
+
+def _split(a):
+    """(a >> 16 arithmetic, a & 0xFFFF as nonnegative int32)."""
+    a = _as32(a)
+    return a >> 16, jnp.bitwise_and(a, 0xFFFF)
+
+
+def smulwb(a, b):
+    """((int64)a * (int16)b) >> 16, wrapped to int32 (silk_SMULWB,
+    OPUS_FAST_INT64 semantics)."""
+    ah, al = _split(a)
+    b16 = sext16(b)
+    # al*b16 fits int32 exactly (|al*b16| <= 65535*32768 < 2^31)
+    return ah * b16 + ((al * b16) >> 16)
+
+
+def smlawb(a, b, c):
+    return _as32(a) + smulwb(b, c)
+
+
+def smulbb(a, b):
+    return sext16(a) * sext16(b)
+
+
+def smlabb(a, b, c):
+    return a + smulbb(b, c)
+
+
+def smulww(a, b):
+    """((int64)a * b) >> 16 wrapped to int32 (silk_SMULWW,
+    OPUS_FAST_INT64 semantics) — exact mod 2^32 via 16-bit splits."""
+    ah, al = _split(a)
+    bh, bl = _split(b)
+    # al*bl in [0, 2^32): compute in uint32 (wrap-free), logical >> 16
+    low = (al.astype(_u32) * bl.astype(_u32)) >> 16
+    return ah * _as32(b) + al * bh + low.astype(_i32)
+
+
+def smlaww(a, b, c):
+    return a + smulww(b, c)
+
+
+def rshift_round(a, shift: int):
+    """silk_RSHIFT_ROUND with int32 wrap (shift >= 1, static)."""
+    a = _as32(a)
+    if shift == 1:
+        return (a >> 1) + jnp.bitwise_and(a, 1)
+    return ((a >> (shift - 1)) + 1) >> 1
+
+
+def add_sat32(a, b):
+    a = _as32(a)
+    b = _as32(b)
+    s = a + b                     # wraps
+    ovf = ((a ^ s) & (b ^ s)) < 0
+    return jnp.where(ovf, jnp.where(a < 0, INT32_MIN, INT32_MAX), s)
+
+
+def lshift_sat32(a, shift: int):
+    lo = np.int32(INT32_MIN >> shift)
+    hi = np.int32(INT32_MAX >> shift)
+    return jnp.clip(_as32(a), lo, hi) << shift
+
+
+def silk_rand(seed):
+    """SigProc_FIX.h silk_RAND: 907633515 + seed*196314165 (wraps)."""
+    return np.int32(907633515) + _as32(seed) * np.int32(196314165)
