@@ -63,7 +63,8 @@ def main():
     dec = OpusDecoder(48000, 1)
     for b in (0, B // 2, B - 1):
         dec.decode_float(packets[b], N)
-        assert dec.final_range == rngs[b], "decode/final_range mismatch"
+        assert dec.get_final_range() == rngs[b], \
+            "decode/final_range mismatch"
         dec.reset()
 
     # timed steady state: pack(frame k) overlaps device(frame k+1)

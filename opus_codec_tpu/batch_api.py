@@ -57,6 +57,7 @@ class CeltBatchEncoder:
         self._toc = pkt.gen_toc(CodecMode.CELT_ONLY, 400 >> lm,
                                 Bandwidth.FULLBAND, 1)
         self.final_ranges = np.zeros(batch, np.uint64)
+        self._packed_fn = None
 
     def encode_step_device(self, pcm):
         """Device half only: returns (plan coder, updates state).
@@ -104,6 +105,40 @@ class CeltBatchEncoder:
     def encode(self, pcm) -> List[bytes]:
         """PCM in, packets out (one device step + host packing)."""
         return self.pack(self.encode_step_device(pcm))[0]
+
+    def encode_device_packed(self, pcm):
+        """Fully device-resident encode: symbol planning AND range
+        coding run in one jitted program (``celt.batch_pack``); only
+        the finished packet bytes + final ranges cross to the host —
+        ~30x less transfer than shipping plans.  Returns
+        (bytes [B, nbytes] device array, rng [B] device array)."""
+        import jax
+
+        from .celt import batch_pack as bp
+        pcm = self._jnp.asarray(pcm)
+        if self._packed_fn is None:
+            be = self._be
+            lm, exact, nbytes = self.lm, self.exact, self.nbytes
+
+            def run(pcm, state, nb, br):
+                c, st2 = be.celt_encode_batch_plan(
+                    pcm, state, nb, br, lm=lm, exact=exact)
+                out, rng = bp.pack_plan_device(c.ops, nb, nbytes)
+                return out, rng, st2
+
+            self._packed_fn = jax.jit(run)
+        out, rng, self.state = self._packed_fn(
+            pcm, self.state, self._nbytes_dev, self._bitrate_dev)
+        return out, rng
+
+    def encode_packed(self, pcm) -> Tuple[List[bytes], np.ndarray]:
+        """PCM in, packets out via the device packer."""
+        out, rng = self.encode_device_packed(pcm)
+        ob = np.asarray(out).astype(np.uint8)
+        rngs = np.asarray(rng).astype(np.uint64)
+        self.final_ranges = rngs
+        toc = bytes([self._toc])
+        return [toc + ob[b].tobytes() for b in range(self.batch)], rngs
 
 
 class CeltBatchDecoder:

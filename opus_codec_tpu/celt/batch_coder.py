@@ -334,16 +334,21 @@ def laplace(c: PlanCoder, mask, value, fs0, decay) -> PlanCoder:
     # walk the geometric tail:  while fs > 0 and i < val
     i = jnp.ones_like(val)
 
-    def _walk(_, st):
-        fl, fs, i = st
+    def _cond(st):
+        fl, fs, i, it = st
+        return jnp.any(nz & (fs > 0) & (i < val)) & (it < 24)
+
+    def _walk(st):
+        fl, fs, i, it = st
         go = nz & (fs > 0) & (i < val)
         fs2 = fs * 2
         fl = jnp.where(go, fl + fs2 + 2 * _MINP, fl)
         fs = jnp.where(go, (fs2 * decay) >> 15, fs)
-        return fl, fs, i + go.astype(jnp.int32)
+        return fl, fs, i + go.astype(jnp.int32), it + 1
 
     import jax
-    fl, fs, i = jax.lax.fori_loop(0, 24, _walk, (fl, fs, i))
+    fl, fs, i, _ = jax.lax.while_loop(_cond, _walk,
+                                      (fl, fs, i, jnp.int32(0)))
 
     ran_out = nz & (fs == 0)
     ndi_max = (32768 - fl + _MINP - 1) >> _LOG_MINP

@@ -784,6 +784,27 @@ def _seq_sum_masked(x, exact: bool):
     return _seq_sum(x, exact)
 
 
+# TPU-friendly gathers: XLA lowers fancy gathers to serialized scalar
+# loads on TPU (~ms for [B, NB] indices), so inside the hot scan every
+# table lookup is expressed as a one-hot compare + reduce (vector ops)
+# instead.
+
+def _sel_row(row, idx):
+    """row: [R] (shared table), idx: [...] int -> row[idx]."""
+    R = row.shape[0]
+    cmp = idx[..., None] == jnp.arange(R)
+    return jnp.sum(jnp.where(cmp, row, 0), axis=-1, dtype=row.dtype)
+
+
+def _sel_tab(tab, idx):
+    """tab: [J, K] (static per-position rows), idx: [B, J] ->
+    out[b, j] = tab[j, idx[b, j]]."""
+    K = tab.shape[1]
+    cmp = idx[:, :, None] == jnp.arange(K)[None, None, :]
+    return jnp.sum(jnp.where(cmp, tab[None, :, :], 0), axis=-1,
+                   dtype=tab.dtype)
+
+
 def _pvq_search_node(Xseg, K, valid, Nj, kmax_j, exact: bool):
     """op_pvq_search on a width-padded segment.  Xseg [B, NBmax] with
     zeros outside ``valid``; Nj, kmax_j: traced scalars for this step.
@@ -815,8 +836,12 @@ def _pvq_search_node(Xseg, K, valid, Nj, kmax_j, exact: bool):
     pulses_left = jnp.where(dump, 0, pulses_left)
 
     neg_inf = jnp.asarray(-jnp.inf, dt)
+    iters = jnp.minimum(kmax_j, Nj + 3)
 
-    def body(_, carry):
+    def cond(carry):
+        return jnp.any(carry[4] > 0)
+
+    def body(carry):
         iy, y2, xy, yy, left = carry
         go = left > 0
         yy1 = yy + 1.0
@@ -824,44 +849,48 @@ def _pvq_search_node(Xseg, K, valid, Nj, kmax_j, exact: bool):
         ryy = yy1[:, None] + y2
         ratio = jnp.where(valid, (rxy * rxy) / ryy, neg_inf)
         best = jnp.argmax(ratio, axis=-1)
-        bx = jnp.take_along_axis(X, best[:, None], 1)[:, 0]
-        by = jnp.take_along_axis(y2, best[:, None], 1)[:, 0]
+        oh = jnp.arange(NB)[None, :] == best[:, None]
+        bx = jnp.sum(jnp.where(oh, X, 0.0), axis=1)
+        by = jnp.sum(jnp.where(oh, y2, 0.0), axis=1)
         xy2 = jnp.where(go, xy + bx, xy)
         yy2 = jnp.where(go, yy1 + by, yy)
-        onehot_b = (jnp.arange(NB)[None, :] == best[:, None]) \
-            & go[:, None]
+        onehot_b = oh & go[:, None]
         y2 = y2 + jnp.where(onehot_b, 2.0, 0.0)
         iy = iy + onehot_b.astype(_i32)
         return iy, y2, xy2, yy2, left - go.astype(_i32)
 
-    iters = jnp.minimum(kmax_j, Nj + 3)
-    iy, y2, xy, yy, pulses_left = jax.lax.fori_loop(
-        0, iters, body, (iy, y2, xy, yy, pulses_left))
+    pulses_left = jnp.minimum(pulses_left, iters)   # loop-count bound
+    iy, y2, xy, yy, _ = jax.lax.while_loop(
+        cond, body, (iy, y2, xy, yy, pulses_left))
     return jnp.where(sign, -iy, iy)
 
 
-def _icwrs_node(iy, u, Nj):
-    """icwrs on a width-padded pulse vector: values occupy columns
-    [0, Nj); computed by rolling them to the tail so ``dim`` stays
-    NB - p (cwrs.c:440-461)."""
+def _icwrs_node(iy, u_dims, u_row, Nj):
+    """icwrs on a width-padded pulse vector (cwrs.c:440-461), fully
+    vectorized: the running pulse count at each position is a suffix
+    sum, so every U-table term evaluates in parallel as a one-hot
+    select (uint32 sums wrap identically in any order).
+
+    u_dims: [NB, kdim] constant with u_dims[c] = U(NB - c, ·);
+    u_row: [kdim] = U(Nj, ·) for this node (a static xs row)."""
     B, NB = iy.shape
-    iyr = jnp.roll(iy, NB - Nj, axis=1)
-    yl = jnp.abs(iyr[:, NB - 1])
-    idx = (iyr[:, NB - 1] < 0).astype(jnp.uint32)
-    k = yl
-
-    def body(jj, carry):
-        idx, k = carry
-        p = NB - 2 - jj
-        dim = NB - p
-        yj = jnp.take_along_axis(iyr, jnp.full((B, 1), p), 1)[:, 0]
-        idx = idx + u[dim, k]
-        k = k + jnp.abs(yj)
-        idx = idx + jnp.where(yj < 0, u[dim, k + 1], np.uint32(0))
-        return idx, k
-
-    idx, k = jax.lax.fori_loop(0, Nj - 1, body, (idx, k))
-    v = u[Nj, k] + u[Nj, k + 1]
+    kdim = u_dims.shape[1]
+    iyr = jnp.roll(iy, NB - Nj, axis=1)          # values in cols tail
+    ay = jnp.abs(iyr)
+    # suffix[p] = sum of |y| at positions > p
+    suffix = jnp.cumsum(ay[:, ::-1], axis=1)[:, ::-1] - ay
+    cols = jnp.arange(NB)[None, :]
+    mask = (cols < NB - 1) & (cols >= NB - Nj)
+    t1 = _sel_tab(u_dims, jnp.clip(suffix, 0, kdim - 1))
+    t2 = jnp.where(iyr < 0,
+                   _sel_tab(u_dims,
+                            jnp.clip(suffix + ay + 1, 0, kdim - 1)),
+                   np.uint32(0))
+    idx = jnp.sum(jnp.where(mask, t1 + t2, np.uint32(0)), axis=1,
+                  dtype=jnp.uint32)
+    idx = idx + (iyr[:, NB - 1] < 0).astype(jnp.uint32)
+    k = suffix[:, 0] + ay[:, 0]                   # total pulses
+    v = _sel_row(u_row, k) + _sel_row(u_row, k + 1)
     return idx, v
 
 
@@ -878,9 +907,17 @@ def quant_all_bands_batch(c: PlanCoder, X, pulses, coded_bands,
     NB = s.NBmax
     dt = X.dtype
     n = s.n_steps
-    u = jnp.asarray(t.u_tab)
     Nfreq = X.shape[1]
     col0 = np.arange(NB)
+    # U-table views: constant per-column rows (dim = NB - col) and a
+    # static per-node row — all lookups become one-hot selects
+    u_dims = jnp.asarray(t.u_tab[np.clip(NB - col0, 0,
+                                         t.u_tab.shape[0] - 1)])
+    u_rows = np.stack([t.u_tab[int(Nv)] for Nv in s.N])
+    M = 1 << lm
+    widths = (t.e_bands[1:] - t.e_bands[:-1]).astype(np.int64) * M
+    max_segs = int(np.max(widths[s.band] // s.N))   # tree segments/band
+    Xpad = jnp.concatenate([X, jnp.zeros((B, NB), X.dtype)], axis=1)
 
     xs = {
         "band": jnp.asarray(s.band), "xlo": jnp.asarray(s.xlo),
@@ -894,6 +931,7 @@ def quant_all_bands_batch(c: PlanCoder, X, pulses, coded_bands,
         "maxq": jnp.asarray(s.maxq), "thresh": jnp.asarray(s.thresh),
         "pulse_cap": jnp.asarray(s.pulse_cap),
         "node_id": jnp.arange(n, dtype=_i32),
+        "u_row": jnp.asarray(u_rows),
     }
 
     zi = jnp.zeros((B, n), _i32)
@@ -919,8 +957,8 @@ def quant_all_bands_batch(c: PlanCoder, X, pulses, coded_bands,
         den = jnp.maximum(jnp.minimum(3, coded_bands - x["band"]), 1)
         curr_balance = jnp.where(
             balance >= 0, balance // den, -((-balance) // den))
-        pulses_i = jnp.take_along_axis(
-            pulses, jnp.full((B, 1), x["band"]), 1)[:, 0]
+        pulses_i = jax.lax.dynamic_slice_in_dim(
+            pulses, x["band"], 1, axis=1)[:, 0]
         act_band = x["band"] <= coded_bands - 1
         b_root = jnp.clip(jnp.minimum(remaining + 1,
                                       pulses_i + curr_balance), 0, 16383)
@@ -931,8 +969,8 @@ def quant_all_bands_batch(c: PlanCoder, X, pulses, coded_bands,
         par = x["parent"]
 
         def g(name):
-            return jnp.take_along_axis(
-                cy[name], jnp.full((B, 1), par), 1)[:, 0]
+            return jax.lax.dynamic_slice_in_dim(
+                cy[name], par, 1, axis=1)[:, 0]
 
         p_off = g("off_arr")
         p_split = g("split_arr")
@@ -962,11 +1000,16 @@ def quant_all_bands_batch(c: PlanCoder, X, pulses, coded_bands,
         split = act_in & (x["can_split"] == 1) & (b_in > x["thresh"])
         leaf = act_in & ~split & ~is_n1
 
-        # ---- gather this node's spectrum segment (zero-padded)
-        cols = x["xlo"] + off_in[:, None] + col0[None, :]
+        # ---- this node's spectrum segment (zero-padded): offsets are
+        # tree-aligned multiples of Nj, so the per-stream window is a
+        # select over uniform-start slices (no TPU gather)
         valid = col0[None, :] < Nj
-        seg = jnp.take_along_axis(
-            X, jnp.clip(cols, 0, Nfreq - 1), axis=1)
+        seg = jnp.zeros((B, NB), dt)
+        for m_var in range(max_segs):
+            start_m = x["xlo"] + m_var * Nj
+            win = jax.lax.dynamic_slice_in_dim(Xpad, start_m, NB,
+                                               axis=1)
+            seg = jnp.where((off_in == m_var * Nj)[:, None], win, seg)
         seg = jnp.where(valid, seg, jnp.asarray(0.0, dt))
 
         # ---- leaf: bits->pulses, PVQ search, CWRS (vq.c, cwrs.c)
@@ -976,28 +1019,34 @@ def quant_all_bands_batch(c: PlanCoder, X, pulses, coded_bands,
         hi = jnp.full((B,), 1, _i32) * x["maxq"]
         for _ in range(6):                         # LOG_MAX_PSEUDO
             mid = (lo + hi + 1) >> 1
-            ge = row[mid] >= bits_m1
+            ge = _sel_row(row, mid) >= bits_m1
             hi = jnp.where(ge, mid, hi)
             lo = jnp.where(ge, lo, mid)
-        lo_bits = jnp.where(lo == 0, -1, row[jnp.maximum(lo, 0)])
-        q = jnp.where(bits_m1 - lo_bits <= row[hi] - bits_m1, lo, hi)
+        lo_bits = jnp.where(lo == 0, -1, _sel_row(row, jnp.maximum(lo, 0)))
+        q = jnp.where(bits_m1 - lo_bits <= _sel_row(row, hi) - bits_m1,
+                      lo, hi)
 
         def p2b(qv):
-            return jnp.where(qv == 0, 0, row[qv] + 1)
+            return jnp.where(qv == 0, 0, _sel_row(row, qv) + 1)
 
         curr = p2b(q)
         rem2 = jnp.where(leaf, rem_in - curr, rem_in)
 
-        def _fix(_, st):
-            rem2, q, curr = st
+        def _fix_cond(st):
+            rem2, q, curr, it = st
+            return jnp.any(leaf & (rem2 < 0) & (q > 0)) & (it < 40)
+
+        def _fix(st):
+            rem2, q, curr, it = st
             fx = leaf & (rem2 < 0) & (q > 0)
             rem2 = jnp.where(fx, rem2 + curr, rem2)
             q = q - fx.astype(_i32)
             curr = jnp.where(fx, p2b(q), curr)
             rem2 = jnp.where(fx, rem2 - curr, rem2)
-            return rem2, q, curr
+            return rem2, q, curr, it + 1
 
-        rem2, q, curr = jax.lax.fori_loop(0, 40, _fix, (rem2, q, curr))
+        rem2, q, curr, _ = jax.lax.while_loop(
+            _fix_cond, _fix, (rem2, q, curr, jnp.int32(0)))
 
         kmax_j = jnp.where(x["maxq"] < 8, x["maxq"],
                            (8 + (x["maxq"] & 7))
@@ -1007,7 +1056,7 @@ def quant_all_bands_batch(c: PlanCoder, X, pulses, coded_bands,
         code = leaf & (q > 0)
         iy = _pvq_search_node(seg, jnp.maximum(K, 1), valid, Nj,
                               kmax_j, exact)
-        idx, v = _icwrs_node(iy, u, Nj)
+        idx, v = _icwrs_node(iy, u_dims, x["u_row"], Nj)
         rng, nbt, row1, row2 = bc.uint_rn(
             rng, nbt, code, idx, jnp.maximum(v, np.uint32(2)))
 
