@@ -1,17 +1,17 @@
 #!/usr/bin/env python
 """Benchmark: END-TO-END batched CELT encode — PCM in, valid packets out.
 
-Measures the full batched encoder on the live accelerator: device symbol
-planning (preemphasis, MDCT, band energies, coarse/fine energy
-quantization, tf/spread/dynalloc/trim coding, allocation, PVQ search,
-CWRS indexing — celt/batch_encoder.py) plus the native host range-coder
-lane (runtime/ec_lane.c) that turns the symbol plans into packets.  The
-host packing of frame k is overlapped with the device compute of frame
-k+1 (async dispatch), which is how the production pipeline runs.
+Measures the fully device-resident batched encoder on the live
+accelerator: device symbol planning (preemphasis, MDCT, band energies,
+coarse/fine energy quantization, tf/spread/dynalloc/trim coding,
+allocation, PVQ search, CWRS indexing — celt/batch_encoder.py) AND the
+device range coder (celt/batch_pack.py) in one jitted program per
+frame; only finished packet bytes + final ranges cross to the host.
 
 Configuration: B concurrent 48 kHz mono streams, 20 ms frames, CBR
-64 kbps, CELT mode (complexity-0 decision set).  Packets are spot-checked
-against the scalar decoder (final_range equality) before timing.
+64 kbps, CELT mode (complexity-0 decision set).  Packets are
+spot-checked against the scalar decoder (final_range equality) before
+timing.
 
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
@@ -40,7 +40,7 @@ def main():
 
     from opus_codec_tpu.batch_api import CeltBatchEncoder
 
-    B = int(os.environ.get("BENCH_B", "512"))
+    B = int(os.environ.get("BENCH_B", "2048"))
     steps = int(os.environ.get("BENCH_STEPS", "20"))
     bitrate = 64000
     N = 960
@@ -57,8 +57,7 @@ def main():
         frames.append(pcm.astype(np.float32))
 
     # warmup + compile + correctness spot check
-    c = enc.encode_step_device(frames[0])
-    packets, rngs = enc.pack(c)
+    packets, rngs = enc.encode_packed(frames[0])
     from opus_codec_tpu.opus.decoder import OpusDecoder
     dec = OpusDecoder(48000, 1)
     for b in (0, B // 2, B - 1):
@@ -67,21 +66,15 @@ def main():
             "decode/final_range mismatch"
         dec.reset()
 
-    # timed steady state: pack(frame k) overlaps device(frame k+1)
+    # timed steady state: device plan+pack, fetch packets per frame
     t0 = time.perf_counter()
-    pending = enc.encode_step_device(frames[1])
     total_bytes = 0
-    for s in range(2, steps + 2):
-        nxt = enc.encode_step_device(frames[s % 4])
-        pkts, _ = enc.pack(pending)       # host lane, overlapped
+    for s in range(steps):
+        pkts, _ = enc.encode_packed(frames[s % 4])
         total_bytes += sum(len(p) for p in pkts)
-        pending = nxt
-    pkts, _ = enc.pack(pending)
-    total_bytes += sum(len(p) for p in pkts)
     dt = time.perf_counter() - t0
 
-    n_frames = steps + 1
-    audio_seconds = B * n_frames * (N / 48000.0)
+    audio_seconds = B * steps * (N / 48000.0)
     rtf = audio_seconds / dt
     baseline_per_chip_stereo = 10000.0 / 8.0
     print(json.dumps({
