@@ -58,6 +58,7 @@ class CeltBatchEncoder:
                                 Bandwidth.FULLBAND, 1)
         self.final_ranges = np.zeros(batch, np.uint64)
         self._packed_fn = None
+        self._frames_fn = None
 
     def encode_step_device(self, pcm):
         """Device half only: returns (plan coder, updates state).
@@ -139,6 +140,52 @@ class CeltBatchEncoder:
         self.final_ranges = rngs
         toc = bytes([self._toc])
         return [toc + ob[b].tobytes() for b in range(self.batch)], rngs
+
+    def encode_frames_device(self, pcm_frames):
+        """Sequence-parallel lane: T frames per stream in ONE device
+        call — a ``lax.scan`` over frames wraps the full plan+pack
+        step, so long signals amortize every host round trip (SURVEY
+        §2.6 SP).  pcm_frames: [B, T, frame_size].  Returns
+        (bytes [B, T, nbytes], rng [B, T]) device arrays."""
+        import jax
+
+        from .celt import batch_pack as bp
+        pcm_frames = self._jnp.asarray(pcm_frames)
+        if self._frames_fn is None:
+            import jax.numpy as jnp
+
+            be = self._be
+            lm, exact, nbytes = self.lm, self.exact, self.nbytes
+
+            def run(pcm_frames, state, nb, br):
+                def body(st, pcm):
+                    c, st = be.celt_encode_batch_plan(
+                        pcm, st, nb, br, lm=lm, exact=exact)
+                    out, rng = bp.pack_plan_device(c.ops, nb, nbytes)
+                    return st, (out, rng)
+
+                st, (outs, rngs) = jax.lax.scan(
+                    body, state, jnp.moveaxis(pcm_frames, 1, 0))
+                return outs, rngs, st
+
+            self._frames_fn = jax.jit(run)
+        outs, rngs, self.state = self._frames_fn(
+            pcm_frames, self.state, self._nbytes_dev, self._bitrate_dev)
+        # [T, B, ...] -> [B, T, ...]
+        return (self._jnp.moveaxis(outs, 0, 1),
+                self._jnp.moveaxis(rngs, 0, 1))
+
+    def encode_frames(self, pcm_frames) -> Tuple[List[List[bytes]],
+                                                 np.ndarray]:
+        """[B, T, N] PCM in -> per-stream packet lists + ranges."""
+        outs, rngs = self.encode_frames_device(pcm_frames)
+        ob = np.asarray(outs).astype(np.uint8)
+        rg = np.asarray(rngs).astype(np.uint64)
+        self.final_ranges = rg[:, -1]
+        toc = bytes([self._toc])
+        pkts = [[toc + ob[b, t].tobytes() for t in range(ob.shape[1])]
+                for b in range(ob.shape[0])]
+        return pkts, rg
 
 
 class CeltBatchDecoder:

@@ -17,6 +17,7 @@ the sharding story without N real chips.
 
 from .mesh import (make_mesh, shard_batch, replicate, batch_sharding,
                    ShardedCeltBatchEncoder)
+from .pipeline import DevicePipeline, bucket_by
 
 __all__ = ["make_mesh", "shard_batch", "replicate", "batch_sharding",
-           "ShardedCeltBatchEncoder"]
+           "ShardedCeltBatchEncoder", "DevicePipeline", "bucket_by"]
