@@ -8,8 +8,10 @@ exp_rotation :74).
 This is the host-lane scalar reference implementation, shared by encoder and
 decoder exactly as in the C (one code path, ``encode`` flag). The integer
 decisions (qn, itheta coding, bit rebalancing, pulse counts) are exact; the
-float vector math runs in float64. This module is the ground truth for
-the batched device paths.
+float vector math runs in float64. This module is the ground truth the
+batched device paths (``celt.batch_encoder`` encode direction,
+``celt.batch_decoder`` + ``celt.dec_parse`` decode direction) are
+validated against.
 """
 
 from __future__ import annotations

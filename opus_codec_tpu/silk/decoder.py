@@ -6,8 +6,9 @@ decode_pulses.c, shell_coder.c, code_signs.c, decode_pitch.c,
 gain_quant.c (silk_gains_dequant :95), decoder_set_fs.c, PLC.c, CNG.c,
 stereo_MS_to_LR.c, stereo_decode_pred.c, LPC_analysis_filter.c.
 
-Host scalar reference implementation (integer-exact); it is the ground
-truth any batched device lane must match bit-for-bit.
+Host scalar reference implementation (integer-exact); the batched
+device lane (``silk.batch_decoder`` + ``silk.batch_core`` +
+``silk.batch_resampler``) matches it bit-for-bit.
 """
 
 from __future__ import annotations
