@@ -8,10 +8,10 @@ allocation, PVQ search, CWRS indexing — celt/batch_encoder.py) AND the
 device range coder (celt/batch_pack.py) in one jitted program per
 frame; only finished packet bytes + final ranges cross to the host.
 
-Configuration: B concurrent 48 kHz mono streams, 20 ms frames, CBR
-64 kbps, CELT mode (complexity-0 decision set).  Packets are
-spot-checked against the scalar decoder (final_range equality) before
-timing.
+Configuration: B concurrent 48 kHz mono streams of int16 PCM (the
+reference opus_encode() input format), 20 ms frames, CBR 64 kbps, CELT
+mode (complexity-0 decision set).  Packets are spot-checked against
+the scalar decoder (final_range equality) before timing.
 
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
@@ -40,7 +40,7 @@ def main():
 
     from opus_codec_tpu.batch_api import CeltBatchEncoder
 
-    B = int(os.environ.get("BENCH_B", "2048"))
+    B = int(os.environ.get("BENCH_B", "4096"))
     steps = int(os.environ.get("BENCH_STEPS", "20"))
     bitrate = 64000
     N = 960
@@ -52,9 +52,10 @@ def main():
     frames = []
     for k in range(4):
         ph = (t[None, :] + k * 0.02) * freqs
-        pcm = 0.35 * np.sin(2 * np.pi * ph) \
-            + 0.05 * rng.standard_normal((B, N))
-        frames.append(pcm.astype(np.float32))
+        pcm = 11000 * np.sin(2 * np.pi * ph) \
+            + 1600 * rng.standard_normal((B, N))
+        # int16 input — the reference opus_encode() API lane
+        frames.append(np.clip(pcm, -32768, 32767).astype(np.int16))
 
     # warmup + compile + correctness spot check
     packets, rngs = enc.encode_packed(frames[0])

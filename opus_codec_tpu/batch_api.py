@@ -119,9 +119,13 @@ class CeltBatchEncoder:
         pcm = self._jnp.asarray(pcm)
         if self._packed_fn is None:
             be = self._be
+            jnp = self._jnp
             lm, exact, nbytes = self.lm, self.exact, self.nbytes
 
             def run(pcm, state, nb, br):
+                if pcm.dtype == jnp.int16:
+                    # int16 API lane: halves the host->device traffic
+                    pcm = pcm.astype(jnp.float32) * (1.0 / 32768.0)
                 c, st2 = be.celt_encode_batch_plan(
                     pcm, state, nb, br, lm=lm, exact=exact)
                 out, rng = bp.pack_plan_device(c.ops, nb, nbytes)
