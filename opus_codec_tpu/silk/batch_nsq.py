@@ -176,7 +176,6 @@ def silk_nsq_batch(params, st: NsqBatchState, fs_khz: int,
         # ---- per-sample quantization loop (NSQ.c:186-315)
         A_rev = A[:, ::-1]
         AR_coef = AR
-        pred_lag0 = buf_idx - lag + LTP_ORDER // 2
         shp_lag0 = shp_idx0 - lag + 1
         init_pred = np.int32(order >> 1)
         init_shp = np.int32(shp_order >> 1)
