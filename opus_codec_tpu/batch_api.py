@@ -110,9 +110,11 @@ class CeltBatchEncoder:
     def encode_device_packed(self, pcm):
         """Fully device-resident encode: symbol planning AND range
         coding run in one jitted program (``celt.batch_pack``); only
-        the finished packet bytes + final ranges cross to the host —
-        ~30x less transfer than shipping plans.  Returns
-        (bytes [B, nbytes] device array, rng [B] device array)."""
+        the finished packet payload crosses to the host — ~30x less
+        transfer than shipping plans.  Returns ONE fused uint8
+        [B, nbytes + 4] device array: packet bytes then the
+        little-endian 32-bit final range (a single tunnel round trip
+        fetches everything)."""
         import jax
 
         from .celt import batch_pack as bp
@@ -129,21 +131,34 @@ class CeltBatchEncoder:
                 c, st2 = be.celt_encode_batch_plan(
                     pcm, state, nb, br, lm=lm, exact=exact)
                 out, rng = bp.pack_plan_device(c.ops, nb, nbytes)
-                return out, rng, st2
+                # one fused uint8 payload: bytes + little-endian final
+                # range per row — a single tunnel round trip fetches
+                # everything
+                rng_le = jnp.stack(
+                    [(rng >> (8 * k)).astype(jnp.uint8)
+                     for k in range(4)], axis=1)
+                return jnp.concatenate([out, rng_le], axis=1), st2
 
             self._packed_fn = jax.jit(run)
-        out, rng, self.state = self._packed_fn(
+        payload, self.state = self._packed_fn(
             pcm, self.state, self._nbytes_dev, self._bitrate_dev)
-        return out, rng
+        return payload
+
+    def split_payload(self, payload_host: np.ndarray):
+        """Fetched [B, nbytes+4] uint8 payload -> (packets, ranges)."""
+        ob = payload_host[:, :self.nbytes]
+        rngs = payload_host[:, self.nbytes:].astype(np.uint64)
+        rngs = (rngs[:, 0] | (rngs[:, 1] << 8) | (rngs[:, 2] << 16)
+                | (rngs[:, 3] << 24))
+        self.final_ranges = rngs
+        toc = bytes([self._toc])
+        return ([toc + ob[b].tobytes() for b in range(self.batch)],
+                rngs)
 
     def encode_packed(self, pcm) -> Tuple[List[bytes], np.ndarray]:
         """PCM in, packets out via the device packer."""
-        out, rng = self.encode_device_packed(pcm)
-        ob = np.asarray(out).astype(np.uint8)
-        rngs = np.asarray(rng).astype(np.uint64)
-        self.final_ranges = rngs
-        toc = bytes([self._toc])
-        return [toc + ob[b].tobytes() for b in range(self.batch)], rngs
+        return self.split_payload(
+            np.asarray(self.encode_device_packed(pcm)))
 
     def encode_frames_device(self, pcm_frames):
         """Sequence-parallel lane: T frames per stream in ONE device

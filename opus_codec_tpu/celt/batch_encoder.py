@@ -699,10 +699,13 @@ def icwrs_batch(iy, u_tab):
 # [B, 3*n_steps, 4] block in exact coder order.
 
 class _Sched(NamedTuple):
-    """Static preorder schedule over all nodes of all coded bands."""
+    """Static preorder schedule over the nodes of a contiguous *group*
+    of equal-root-width bands (see ``_band_schedule_groups``)."""
     n_steps: int
     NBmax: int
     rowlen: int
+    kmax: int               # max PVQ pulse count over nodes
+    max_segs: int           # max spectrum windows per node
     band: np.ndarray        # [n] band index
     xlo: np.ndarray         # [n] spectrum base of the band
     is_root: np.ndarray     # [n] 1 at each band's first node
@@ -710,7 +713,7 @@ class _Sched(NamedTuple):
     first_band: np.ndarray  # [n] 1 iff band == start
     N: np.ndarray           # [n] node width
     can_split: np.ndarray   # [n]
-    parent: np.ndarray      # [n] node id (-1 root)
+    parent: np.ndarray      # [n] group-local node id (-1 root)
     is_second: np.ndarray   # [n]
     cache_row: np.ndarray   # [n, rowlen] bits cache (padded with last)
     maxq: np.ndarray        # [n]
@@ -718,15 +721,60 @@ class _Sched(NamedTuple):
     pulse_cap: np.ndarray   # [n] for compute_qn at this node's split
 
 
+def _sched_from_recs(recs, start: int, widths, lm: int,
+                     cache_bits) -> _Sched:
+    n = len(recs)
+    NBmax = max(r["N"] for r in recs)
+    rowlen = max(r["maxq"] for r in recs) + 1
+    kmax = max(1, max(get_pulses(r["maxq"]) for r in recs))
+    max_segs = max((int(widths[r["band"]]) << lm) // r["N"]
+                   for r in recs)
+    cache_rows = np.zeros((n, rowlen), np.int32)
+    for j, r in enumerate(recs):
+        if not r["is_n1"]:
+            row = cache_bits[r["cache_off"]:
+                             r["cache_off"] + r["maxq"] + 1]
+            cache_rows[j, :len(row)] = row
+            cache_rows[j, len(row):] = row[-1]
+
+    def arr(key, dt=np.int32):
+        return np.asarray([r[key] for r in recs], dt)
+
+    return _Sched(
+        n_steps=n, NBmax=NBmax, rowlen=rowlen, kmax=kmax,
+        max_segs=max_segs,
+        band=arr("band"), xlo=arr("xlo"), is_root=arr("is_root"),
+        is_n1=arr("is_n1"),
+        first_band=np.asarray(
+            [int(r["band"] == start and r["is_root"]) for r in recs],
+            np.int32),
+        N=arr("N"), can_split=arr("can_split"), parent=arr("parent"),
+        is_second=arr("is_second"), cache_row=cache_rows,
+        maxq=arr("maxq"), thresh=arr("thresh"), pulse_cap=arr("pcap"))
+
+
 @lru_cache(maxsize=None)
-def _band_schedule(lm: int, start: int, end: int) -> _Sched:
+def _band_schedule_groups(lm: int, start: int, end: int):
+    """Preorder node schedules, split into groups of consecutive bands
+    with equal root width.
+
+    The tree scan's per-step cost is O(B * NBmax * K): one schedule for
+    all 21 bands pads every node to the widest band (176 bins at LM=3).
+    Band widths are monotone, so grouping by width and running one scan
+    per group carries only the [B] coder state (rng/tell/balance/rem —
+    the only cross-band data flow in bands.c:1398-1672) across groups
+    while each group pays its own width — ~3-4x less vector work."""
     m = standard_mode()
     t = make_tables(lm, 1)
     nb = m.nb_ebands
     M = 1 << lm
-    recs = []
+    widths = (t.e_bands[1:] - t.e_bands[:-1]).astype(np.int64)
+    groups = []
+    cur = []              # recs of the current group
+    cur_width = None
 
-    def add(band, xlo, is_root, is_n1, N, lmk, parent, is_second):
+    def add(recs, band, xlo, is_root, is_n1, N, lmk, parent,
+            is_second):
         can_split = int(lmk != -1 and N > 2)
         if is_n1:
             cache_off, maxq, thresh, pcap = 0, 0, 0, 0
@@ -744,39 +792,22 @@ def _band_schedule(lm: int, start: int, end: int) -> _Sched:
         idx = len(recs) - 1
         if can_split:
             half = N >> 1
-            add(band, xlo, 0, 0, half, lmk - 1, idx, 0)
-            add(band, xlo, 0, 0, half, lmk - 1, idx, 1)
+            add(recs, band, xlo, 0, 0, half, lmk - 1, idx, 0)
+            add(recs, band, xlo, 0, 0, half, lmk - 1, idx, 1)
         return idx
 
     for i in range(start, end):
+        w = int(widths[i])
+        if cur_width is not None and w != cur_width:
+            groups.append(_sched_from_recs(cur, start, widths, lm,
+                                           t.cache_bits))
+            cur = []
+        cur_width = w
         xlo = M * int(t.e_bands[i])
-        N = M * int(t.e_bands[i + 1] - t.e_bands[i])
-        add(i, xlo, 1, int(N == 1), N, lm, -1, 0)
-
-    n = len(recs)
-    NBmax = max(r["N"] for r in recs)
-    rowlen = max(r["maxq"] for r in recs) + 1
-    cache_rows = np.zeros((n, rowlen), np.int32)
-    for j, r in enumerate(recs):
-        if not r["is_n1"]:
-            row = t.cache_bits[r["cache_off"]:
-                               r["cache_off"] + r["maxq"] + 1]
-            cache_rows[j, :len(row)] = row
-            cache_rows[j, len(row):] = row[-1]
-
-    def arr(key, dt=np.int32):
-        return np.asarray([r[key] for r in recs], dt)
-
-    return _Sched(
-        n_steps=n, NBmax=NBmax, rowlen=rowlen,
-        band=arr("band"), xlo=arr("xlo"), is_root=arr("is_root"),
-        is_n1=arr("is_n1"),
-        first_band=np.asarray(
-            [int(r["band"] == start and r["is_root"]) for r in recs],
-            np.int32),
-        N=arr("N"), can_split=arr("can_split"), parent=arr("parent"),
-        is_second=arr("is_second"), cache_row=cache_rows,
-        maxq=arr("maxq"), thresh=arr("thresh"), pulse_cap=arr("pcap"))
+        add(cur, i, xlo, 1, int(M * w == 1), M * w, lm, -1, 0)
+    groups.append(_sched_from_recs(cur, start, widths, lm,
+                                   t.cache_bits))
+    return tuple(groups)
 
 
 def _seq_sum_masked(x, exact: bool):
@@ -898,25 +929,41 @@ def quant_all_bands_batch(c: PlanCoder, X, pulses, coded_bands,
                           total_bits_q3, balance0, t: Tables, lm: int,
                           start: int, end: int, exact: bool):
     """bands.c:1398-1672 encode path, mono, long blocks, no resynth —
-    one lax.scan over the static preorder node schedule.
+    a sequence of ``lax.scan``s over static preorder node schedules,
+    one per band-width group (``_band_schedule_groups``), carrying the
+    [B] coder state (rng/tell/balance/rem) across groups.
 
     X: [B, Nfreq] normalised spectrum; pulses/coded_bands/balance0 from
     the allocation.  Returns the coder."""
-    s = _band_schedule(lm, start, end)
+    rng, nbt = c.rng, c.nbits_total
+    balance = balance0
+    rem = jnp.zeros(balance0.shape, _i32)
+    for s in _band_schedule_groups(lm, start, end):
+        rng, nbt, balance, rem, block, nrows = _quant_group(
+            s, X, pulses, coded_bands, total_bits_q3, t,
+            rng, nbt, balance, rem, exact)
+        c = bc.append_block(c, block, nrows)
+    return c._replace(rng=rng, nbits_total=nbt)
+
+
+def _quant_group(s: _Sched, X, pulses, coded_bands, total_bits_q3,
+                 t: Tables, rng0, nbt0, balance0, rem0, exact: bool):
+    """One band-width group's node scan; returns the carried coder
+    state plus this group's plan-row block."""
     B = X.shape[0]
     NB = s.NBmax
     dt = X.dtype
     n = s.n_steps
-    Nfreq = X.shape[1]
     col0 = np.arange(NB)
+    kdim = s.kmax + 3
     # U-table views: constant per-column rows (dim = NB - col) and a
-    # static per-node row — all lookups become one-hot selects
+    # static per-node row — all lookups become one-hot selects, sized
+    # to this group's pulse bound
     u_dims = jnp.asarray(t.u_tab[np.clip(NB - col0, 0,
-                                         t.u_tab.shape[0] - 1)])
-    u_rows = np.stack([t.u_tab[int(Nv)] for Nv in s.N])
-    M = 1 << lm
-    widths = (t.e_bands[1:] - t.e_bands[:-1]).astype(np.int64) * M
-    max_segs = int(np.max(widths[s.band] // s.N))   # tree segments/band
+                                         t.u_tab.shape[0] - 1),
+                                 :kdim])
+    u_rows = np.stack([t.u_tab[int(Nv), :kdim] for Nv in s.N])
+    max_segs = s.max_segs                           # tree segments/band
     Xpad = jnp.concatenate([X, jnp.zeros((B, NB), X.dtype)], axis=1)
 
     xs = {
@@ -936,8 +983,7 @@ def quant_all_bands_batch(c: PlanCoder, X, pulses, coded_bands,
 
     zi = jnp.zeros((B, n), _i32)
     carry0 = dict(
-        rng=c.rng, nbt=c.nbits_total, balance=balance0,
-        rem=jnp.zeros((B,), _i32),
+        rng=rng0, nbt=nbt0, balance=balance0, rem=rem0,
         off_arr=zi, split_arr=jnp.zeros((B, n), bool),
         mbits_arr=zi, sbits_arr=zi, swap_arr=jnp.zeros((B, n), bool),
         itheta_arr=zi, snap_arr=zi)
@@ -1135,10 +1181,8 @@ def quant_all_bands_batch(c: PlanCoder, X, pulses, coded_bands,
 
     cyf, rows = jax.lax.scan(step, carry0, xs)
     block = rows.transpose(1, 0, 2, 3).reshape(B, 3 * n, 4)
-    c = c._replace(rng=cyf["rng"], nbits_total=cyf["nbt"])
-    c = bc.append_block(c, block,
-                        jnp.sum(block[:, :, 0] != -1, axis=1))
-    return c
+    return (cyf["rng"], cyf["nbt"], cyf["balance"], cyf["rem"], block,
+            jnp.sum(block[:, :, 0] != -1, axis=1))
 
 # ---------------------------------------------------------------------------
 # dynalloc_analysis (celt_encoder.c:981-1185, float, mono)

@@ -10,11 +10,27 @@ stream per frame) and final ranges cross to the host, instead of the
 
 The classic carry problem — a resolved carry must rewrite a run of
 buffered 0xFF bytes of unbounded length — is handled with a deferred
-fill: the scan writes only explicit bytes (scatter at the write
-offset) plus a one-byte *run marker* at each run's start, and a single
-log-depth prefix scan afterwards materialises the runs (every byte is
-the last marker at or before it: explicit, 0xFF-run, 0x00-run, or the
-zero fill).
+fill: the scan writes only explicit bytes plus a one-byte *run marker*
+at each run's start, and a single log-depth prefix scan afterwards
+materialises the runs (every byte is the last marker at or before it:
+explicit, 0xFF-run, 0x00-run, or the zero fill).
+
+Performance shape (this is the serial half of the whole batched
+encoder, so it is tuned hard):
+
+- the front stream lives in ONE uint16 buffer per stream packing
+  ``(tok << 8) | byte`` — half the HBM traffic of separate byte/token
+  planes, and the scan carries nothing else of O(storage);
+- raw bits (ec_enc_bits, entenc.c:204) go to a *compact* tail buffer
+  indexed by write count (positions there are a monotone counter), and
+  are mirrored into place once, after the scan;
+- ``ROWS_PER_STEP`` plan rows are retired per scan step with all their
+  buffer writes folded into a single masked pass, so the [B, storage]
+  rewrite cost amortises over several symbols;
+- renormalisation runs 2 iterations, which is exact for every plan the
+  model emits: entering ec_encode rng > 2^23 and ft <= 2^15, so the
+  post-code range is >= 2^8 and two 8-bit shifts always restore
+  rng > 2^23 (entenc.c:79 loop; batch_coder emits ft <= 32768 always).
 
 Bit-exact vs RangeEncoder/ec_lane.c by construction and by test.
 """
@@ -29,6 +45,7 @@ from .batch_coder import (OP_BITS, OP_BIT_LOGP, OP_ENCODE,
                           OP_ENCODE_BIN, ec_ilog)
 
 _i32 = jnp.int32
+_u16 = jnp.uint16
 _u32 = jnp.uint32
 
 CODE_TOP = np.uint32(1 << 31)
@@ -37,66 +54,139 @@ CODE_SHIFT = 23                 # CODE_BITS - SYM_BITS - 1
 SYM_MAX = 255
 M31 = np.uint32((1 << 31) - 1)
 
+ROWS_PER_STEP = 4
+TAIL_MAX = 64                   # max raw-bits bytes per frame (fine
+                                # energy + PVQ LSBs; 160-byte frames
+                                # carry far fewer)
+
 __all__ = ["pack_plan_device", "pack_plan_device_jit"]
 
 
-def _put1(arr, mask, pos, val):
-    """One-hot masked write: arr[b, pos[b]] = val[b] where mask.
-    Elementwise (VPU-friendly) instead of a scatter, which TPUs
-    serialize per row."""
-    hit = mask[:, None] & (jnp.arange(arr.shape[1])[None, :]
-                           == pos[:, None])
-    return jnp.where(hit, val[:, None], arr)
+def _carry_out(writes, mask, c, S):
+    """entenc.c:82-99 on vector state.  ``c`` int32 in [0, 511].
 
-
-def _carry_out(mask, c, S):
-    """entenc.c:82-99 on vector state.  ``c`` int32 in [0, 511]."""
-    (buf, tok, rem, ext, offs) = (S["buf"], S["tok"], S["rem"],
-                                  S["ext"], S["offs"])
+    Appends the (mask, pos, u16 value) front-buffer writes to
+    ``writes`` instead of applying them — the caller folds all writes
+    of a scan step into one masked pass."""
+    (rem, ext, offs) = (S["rem"], S["ext"], S["offs"])
     is_ff = c == SYM_MAX
     res = mask & ~is_ff
     carry = c >> 8
 
     wrote = res & (rem >= 0)
     byte = jnp.bitwise_and(rem + carry, 0xFF)
-    buf = _put1(buf, wrote, offs, byte)
-    tok = _put1(tok, wrote, offs, jnp.full_like(offs, 3))
+    writes.append((wrote, offs, (3 << 8) | byte))
     offs = offs + wrote.astype(_i32)
 
     has_run = res & (ext > 0)
-    tok = _put1(tok, has_run, offs, 1 + carry)
+    writes.append((has_run, offs, (1 + carry) << 8))
     offs = offs + jnp.where(has_run, ext, 0)
 
-    ext = jnp.where(res, 0, ext + (mask & is_ff).astype(_i32))
-    rem = jnp.where(res, jnp.bitwise_and(c, 0xFF), rem)
-    S.update(buf=buf, tok=tok, rem=rem, ext=ext, offs=offs)
+    S["ext"] = jnp.where(res, 0, ext + (mask & is_ff).astype(_i32))
+    S["rem"] = jnp.where(res, jnp.bitwise_and(c, 0xFF), rem)
+    S["offs"] = offs
 
 
-def _normalize(mask, S):
-    for _ in range(3):
+def _normalize(writes, mask, S, iters: int = 2):
+    for _ in range(iters):
         cond = mask & (S["rng"] <= CODE_BOT)
-        _carry_out(cond, (S["val"] >> CODE_SHIFT).astype(_i32), S)
+        _carry_out(writes, cond, (S["val"] >> CODE_SHIFT).astype(_i32),
+                   S)
         S["val"] = jnp.where(cond, (S["val"] << 8) & M31, S["val"])
         S["rng"] = jnp.where(cond, S["rng"] << 8, S["rng"])
 
 
-def _write_at_end(mask, byte, S):
-    end_offs = S["end_offs"] + mask.astype(_i32)
-    pos = S["storage"] - end_offs
-    buf = _put1(S["buf"], mask, pos, byte)
-    tok = _put1(S["tok"], mask, pos, jnp.full_like(pos, 3))
-    S.update(buf=buf, tok=tok, end_offs=end_offs)
+def _flush_tail(tail_writes, mask, S):
+    """One byte of the raw-bits window to the tail stream (positions
+    are the monotone ``end_offs`` counter — compact buffer)."""
+    tail_writes.append((mask, S["end_offs"],
+                        (3 << 8) | jnp.bitwise_and(
+                            S["window"].astype(_i32), 0xFF)))
+    S["end_offs"] = S["end_offs"] + mask.astype(_i32)
+    S["window"] = jnp.where(mask, S["window"] >> 8, S["window"])
+    S["nend"] = S["nend"] - 8 * mask.astype(_i32)
+
+
+def _row_update(writes, tail_writes, S, row):
+    """Retire one plan row against the vector coder state."""
+    kind = row[:, 0]
+    a = row[:, 1]
+    b = row[:, 2]
+    d = row[:, 3]
+    live = kind >= 0
+
+    # ---- ec_encode / ec_encode_bin (entenc.c:112-149)
+    enc = live & (kind == OP_ENCODE)
+    encb = live & (kind == OP_ENCODE_BIN)
+    logp = live & (kind == OP_BIT_LOGP)
+    any_sym = enc | encb | logp
+    ftu = jnp.maximum(d, 1).astype(_u32)
+    r_enc = S["rng"] // ftu
+    r_bin = S["rng"] >> jnp.clip(d, 0, 31).astype(_u32)
+    ft_bin = (jnp.int32(1) << jnp.clip(d, 0, 31))
+    r = jnp.where(enc, r_enc, r_bin)
+    ft_eff = jnp.where(enc, d, ft_bin)
+    # fl > 0: val += rng - r*(ft - fl);  rng = r*(fh - fl)
+    vadd = S["rng"] - r * (ft_eff - a).astype(_u32)
+    rng_hi = r * (b - a).astype(_u32)
+    rng_lo = S["rng"] - r * (ft_eff - b).astype(_u32)
+    use_hi = a > 0
+    sym = enc | encb
+    val2 = jnp.where(sym & use_hi, S["val"] + vadd, S["val"])
+    rng2 = jnp.where(sym, jnp.where(use_hi, rng_hi, rng_lo), S["rng"])
+    # ec_enc_bit_logp (entenc.c:151-162): a=bit, d=logp
+    s_lp = S["rng"] >> jnp.clip(d, 0, 31).astype(_u32)
+    r_lp = S["rng"] - s_lp
+    val2 = jnp.where(logp & (a != 0), S["val"] + r_lp, val2)
+    rng2 = jnp.where(logp, jnp.where(a != 0, s_lp, r_lp), rng2)
+    S["val"] = val2
+    S["rng"] = rng2
+    _normalize(writes, any_sym, S)
+
+    # ---- ec_enc_bits (entenc.c:204-223): a=val, d=nbits
+    bits = live & (kind == OP_BITS) & (d > 0)
+    need = bits & (S["nend"] + d > 32)
+    for _ in range(4):
+        _flush_tail(tail_writes, need & (S["nend"] >= 8), S)
+    S["window"] = jnp.where(
+        bits,
+        S["window"] | (a.astype(_u32)
+                       << jnp.clip(S["nend"], 0, 31).astype(_u32)),
+        S["window"])
+    S["nend"] = S["nend"] + jnp.where(bits, d, 0)
+
+
+def _apply_writes(buf, writes):
+    """Fold an ordered write list [(mask, pos, val16)] into one masked
+    pass over ``buf`` [B, W] (later writes win, as in-order execution
+    requires).  XLA fuses this to a single buffer rewrite."""
+    iota = jnp.arange(buf.shape[1])[None, :]
+    out = buf
+    for mask, pos, val in writes:
+        val = jnp.broadcast_to(jnp.asarray(val, _i32), mask.shape)
+        hit = mask[:, None] & (iota == pos[:, None])
+        out = jnp.where(hit, val[:, None].astype(_u16), out)
+    return out
 
 
 def pack_plan_device(ops, storage, max_storage: int):
     """ops: [B, n, 4] int32 plan rows; storage: [B] per-stream byte
-    budgets (<= max_storage).  Returns (bytes [B, max_storage] int32,
+    budgets (<= max_storage).  Returns (bytes [B, max_storage] uint8,
     rng [B] uint32 — the final range)."""
     B, n, _ = ops.shape
+    storage = storage.astype(_i32)
+
+    npad = (-n) % ROWS_PER_STEP
+    if npad:
+        ops = jnp.concatenate(
+            [ops, jnp.full((B, npad, 4), -1, _i32)], axis=1)
+    nsteps = (n + npad) // ROWS_PER_STEP
+    xs = jnp.moveaxis(
+        ops.reshape(B, nsteps, ROWS_PER_STEP, 4), 1, 0)
 
     S0 = dict(
-        buf=jnp.zeros((B, max_storage), _i32),
-        tok=jnp.zeros((B, max_storage), _i32),
+        front=jnp.zeros((B, max_storage), _u16),
+        tail=jnp.zeros((B, TAIL_MAX), _u16),
         val=jnp.zeros((B,), _u32),
         rng=jnp.full((B,), CODE_TOP, _u32),
         rem=jnp.full((B,), -1, _i32),
@@ -105,66 +195,23 @@ def pack_plan_device(ops, storage, max_storage: int):
         end_offs=jnp.zeros((B,), _i32),
         window=jnp.zeros((B,), _u32),
         nend=jnp.zeros((B,), _i32),
-        storage=storage.astype(_i32),
     )
 
-    def step(S, row):
-        kind = row[:, 0]
-        a = row[:, 1]
-        b = row[:, 2]
-        d = row[:, 3]
-        live = kind >= 0
-
-        # ---- ec_encode / ec_encode_bin (entenc.c:112-149)
-        enc = live & (kind == OP_ENCODE)
-        encb = live & (kind == OP_ENCODE_BIN)
-        logp = live & (kind == OP_BIT_LOGP)
-        any_sym = enc | encb | logp
-        ftu = jnp.maximum(d, 1).astype(_u32)
-        r_enc = S["rng"] // ftu
-        r_bin = S["rng"] >> jnp.clip(d, 0, 31).astype(_u32)
-        ft_bin = (jnp.int32(1) << jnp.clip(d, 0, 31))
-        r = jnp.where(enc, r_enc, r_bin)
-        ft_eff = jnp.where(enc, d, ft_bin)
-        # fl > 0: val += rng - r*(ft - fl);  rng = r*(fh - fl)
-        vadd = S["rng"] - r * (ft_eff - a).astype(_u32)
-        rng_hi = r * (b - a).astype(_u32)
-        rng_lo = S["rng"] - r * (ft_eff - b).astype(_u32)
-        use_hi = a > 0
-        sym = enc | encb
-        val2 = jnp.where(sym & use_hi, S["val"] + vadd, S["val"])
-        rng2 = jnp.where(sym, jnp.where(use_hi, rng_hi, rng_lo),
-                         S["rng"])
-        # ec_enc_bit_logp (entenc.c:151-162): a=bit, d=logp
-        s_lp = S["rng"] >> jnp.clip(d, 0, 31).astype(_u32)
-        r_lp = S["rng"] - s_lp
-        val2 = jnp.where(logp & (a != 0), S["val"] + r_lp, val2)
-        rng2 = jnp.where(logp, jnp.where(a != 0, s_lp, r_lp), rng2)
-        S["val"] = val2
-        S["rng"] = rng2
-        _normalize(any_sym, S)
-
-        # ---- ec_enc_bits (entenc.c:204-223): a=val, d=nbits
-        bits = live & (kind == OP_BITS) & (d > 0)
-        need = bits & (S["nend"] + d > 32)
-        for _ in range(4):
-            f = need & (S["nend"] >= 8)
-            _write_at_end(f, jnp.bitwise_and(
-                S["window"].astype(_i32), 0xFF), S)
-            S["window"] = jnp.where(f, S["window"] >> 8, S["window"])
-            S["nend"] = S["nend"] - 8 * f.astype(_i32)
-        S["window"] = jnp.where(
-            bits,
-            S["window"] | (a.astype(_u32)
-                           << jnp.clip(S["nend"], 0, 31).astype(_u32)),
-            S["window"])
-        S["nend"] = S["nend"] + jnp.where(bits, d, 0)
+    def step(S, rows):
+        S = dict(S)
+        writes, tail_writes = [], []
+        for k in range(ROWS_PER_STEP):
+            _row_update(writes, tail_writes, S, rows[:, k])
+        S["front"] = _apply_writes(S["front"], writes)
+        S["tail"] = _apply_writes(S["tail"], tail_writes)
         return S, None
 
-    S, _ = jax.lax.scan(step, S0, jnp.moveaxis(ops, 1, 0))
+    S, _ = jax.lax.scan(step, S0, xs)
+    S = dict(S)
 
     # ---- ec_enc_done (entenc.c:255-305)
     on = jnp.ones((B,), bool)
+    writes, tail_writes = [], []
     l = 32 - ec_ilog(S["rng"])
     msk = (M31 >> jnp.clip(l, 0, 31).astype(_u32))
     end = (S["val"] + msk) & ~msk
@@ -174,34 +221,48 @@ def pack_plan_device(ops, storage, max_storage: int):
     end = jnp.where(over, (S["val"] + msk) & ~msk, end)
     for _ in range(2):
         go = on & (l > 0)
-        _carry_out(go, (end >> CODE_SHIFT).astype(_i32), S)
+        _carry_out(writes, go, (end >> CODE_SHIFT).astype(_i32), S)
         end = jnp.where(go, (end << 8) & M31, end)
         l = l - jnp.where(go, 8, 0)
-    _carry_out(on & ((S["rem"] >= 0) | (S["ext"] > 0)),
+    _carry_out(writes, on & ((S["rem"] >= 0) | (S["ext"] > 0)),
                jnp.zeros((B,), _i32), S)
     for _ in range(4):
-        f = on & (S["nend"] >= 8)
-        _write_at_end(f, jnp.bitwise_and(S["window"].astype(_i32),
-                                         0xFF), S)
-        S["window"] = jnp.where(f, S["window"] >> 8, S["window"])
-        S["nend"] = S["nend"] - 8 * f.astype(_i32)
+        _flush_tail(tail_writes, on & (S["nend"] >= 8), S)
+    S["front"] = _apply_writes(S["front"], writes)
+    S["tail"] = _apply_writes(S["tail"], tail_writes)
 
     # ---- materialise runs + zero fill: last-marker prefix scan
     def comb(x, y):
         return jnp.where(y != 0, y, x)
 
-    lasttok = jax.lax.associative_scan(comb, S["tok"], axis=1)
-    out = jnp.where(lasttok == 3, S["buf"],
+    tok = (S["front"] >> 8).astype(_i32)
+    byte = jnp.bitwise_and(S["front"].astype(_i32), 0xFF)
+    lasttok = jax.lax.associative_scan(comb, tok, axis=1)
+    out = jnp.where(lasttok == 3, byte,
                     jnp.where(lasttok == 1, 0xFF,
                               jnp.where(lasttok == 2, 0x00, 0)))
+
+    # ---- mirror the tail stream into place: tail byte t lives at
+    # storage-1-t (entenc.c raw bits grow from the buffer end)
+    jpos = jnp.arange(max_storage)[None, :]
+    tidx = storage[:, None] - 1 - jpos        # tail index at column j
+    tb = jnp.bitwise_and(S["tail"].astype(_i32), 0xFF)
+    tv = jnp.bitwise_and(S["tail"].astype(_i32), 0x300) != 0
+    # one-hot select over the small tail buffer
+    sel = (tidx[:, :, None]
+           == jnp.arange(TAIL_MAX)[None, None, :])
+    tail_at_j = jnp.sum(jnp.where(sel, tb[:, None, :], 0), axis=2)
+    tail_hit = jnp.sum(jnp.where(sel, tv[:, None, :].astype(_i32), 0),
+                       axis=2) != 0
+    out = jnp.where(tail_hit, tail_at_j, out)
+
     # trailing partial end-window bits OR into the last free byte
     # (entenc.c:297-303)
-    pos = S["storage"] - S["end_offs"] - 1
+    pos = storage - S["end_offs"] - 1
     frag = jnp.bitwise_and(S["window"].astype(_i32), 0xFF)
-    hit = (S["nend"] > 0)[:, None] \
-        & (jnp.arange(max_storage)[None, :] == pos[:, None])
+    hit = (S["nend"] > 0)[:, None] & (jpos == pos[:, None])
     out = jnp.where(hit, out | frag[:, None], out)
-    return out, S["rng"]
+    return out.astype(jnp.uint8), S["rng"]
 
 
 pack_plan_device_jit = jax.jit(pack_plan_device,

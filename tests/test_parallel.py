@@ -71,10 +71,7 @@ def test_pp_pipeline_matches_sequential():
     e2 = CeltBatchEncoder(B, bitrate=96000, frame_size=n)
 
     def host(pending):
-        out, rng = pending
-        ob = np.asarray(out).astype(np.uint8)
-        toc = bytes([e2._toc])
-        return [toc + ob[b].tobytes() for b in range(B)]
+        return e2.split_payload(np.asarray(pending))[0]
 
     pipe = DevicePipeline(e2.encode_device_packed, host)
     got = []
