@@ -226,6 +226,112 @@ class MSEncoder:
     def bitrate(self):
         return self._bitrate
 
+    # ---- CTL surface (multistream.rs:232-483).  The reference's C
+    # handler forwards setters to every stream encoder and answers
+    # getters from the stream states (opus_multistream_encoder.c ctl
+    # dispatcher); OPUS_GET_IN_DTX is the AND over streams.
+
+    def _broadcast(self, name, *a):
+        for e in self.encoders:
+            getattr(e, name)(*a)
+
+    def set_complexity(self, c: int):
+        self._broadcast("set_complexity", c)
+
+    def complexity(self) -> int:
+        return self.encoders[0].complexity()
+
+    def set_dtx(self, dtx: bool):
+        self._broadcast("set_dtx", dtx)
+
+    def dtx(self) -> bool:
+        return self.encoders[0].dtx()
+
+    def in_dtx(self) -> bool:
+        return all(e.in_dtx() for e in self.encoders)
+
+    def set_inband_fec(self, fec: bool):
+        self._broadcast("set_inband_fec", fec)
+
+    def inband_fec(self) -> bool:
+        return self.encoders[0].inband_fec()
+
+    def set_packet_loss_perc(self, p: int):
+        self._broadcast("set_packet_loss_perc", p)
+
+    def packet_loss_perc(self) -> int:
+        return self.encoders[0].packet_loss_perc()
+
+    def set_vbr(self, vbr: bool):
+        self._broadcast("set_vbr", vbr)
+
+    def vbr(self) -> bool:
+        return self.encoders[0].vbr()
+
+    def set_vbr_constraint(self, c: bool):
+        self._broadcast("set_vbr_constraint", c)
+
+    def vbr_constraint(self) -> bool:
+        return self.encoders[0].vbr_constraint()
+
+    def set_max_bandwidth(self, bw):
+        self._broadcast("set_max_bandwidth", bw)
+
+    def max_bandwidth(self):
+        return self.encoders[0].max_bandwidth()
+
+    def set_bandwidth(self, bw):
+        self._broadcast("set_bandwidth", bw)
+
+    def bandwidth(self):
+        return self.encoders[0].bandwidth()
+
+    def set_force_channels(self, ch):
+        self._broadcast("set_force_channels", ch)
+
+    def force_channels(self):
+        return self.encoders[0].force_channels()
+
+    def set_signal(self, s):
+        self._broadcast("set_signal", s)
+
+    def signal(self):
+        return self.encoders[0].signal()
+
+    def set_lsb_depth(self, depth: int):
+        self._broadcast("set_lsb_depth", depth)
+
+    def lsb_depth(self) -> int:
+        return self.encoders[0].lsb_depth()
+
+    def set_prediction_disabled(self, d: bool):
+        self._broadcast("set_prediction_disabled", d)
+
+    def prediction_disabled(self) -> bool:
+        return self.encoders[0].prediction_disabled()
+
+    def set_phase_inversion_disabled(self, d: bool):
+        self._broadcast("set_phase_inversion_disabled", d)
+
+    def phase_inversion_disabled(self) -> bool:
+        return self.encoders[0].phase_inversion_disabled()
+
+    def set_expert_frame_duration(self, dur):
+        self._broadcast("set_expert_frame_duration", dur)
+
+    def expert_frame_duration(self):
+        return self.encoders[0].expert_frame_duration()
+
+    def lookahead(self) -> int:
+        return self.encoders[0].lookahead()
+
+    def reset(self):
+        """OPUS_RESET_STATE across every stream + analysis memories."""
+        for e in self.encoders:
+            e.reset()
+        self._sa_mem[:] = 0.0
+        self._sa_preemph[:] = 0.0
+
     def _rate_allocation(self, frame_size: int) -> List[int]:
         """surround_rate_allocation (opus_multistream_encoder.c:~700)."""
         m = self.mapping
@@ -399,3 +505,33 @@ class MSDecoder:
         for d in self.decoders:
             r ^= d.get_final_range()
         return r
+
+    # ---- CTL surface (multistream.rs:791-872): setters broadcast,
+    # getters answer from the stream decoders.
+
+    def set_gain(self, gain_q8: int):
+        for d in self.decoders:
+            d.set_gain(gain_q8)
+
+    def gain(self) -> int:
+        return self.decoders[0].gain()
+
+    def set_phase_inversion_disabled(self, dis: bool):
+        for d in self.decoders:
+            d.set_phase_inversion_disabled(dis)
+
+    def phase_inversion_disabled(self) -> bool:
+        return self.decoders[0].phase_inversion_disabled()
+
+    def get_sample_rate(self) -> int:
+        return self.sample_rate
+
+    def get_pitch(self) -> int:
+        return self.decoders[0].get_pitch()
+
+    def get_last_packet_duration(self) -> int:
+        return self.decoders[0].get_last_packet_duration()
+
+    def reset(self):
+        for d in self.decoders:
+            d.reset()

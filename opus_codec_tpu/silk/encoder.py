@@ -6,8 +6,10 @@ Follows silk/enc_API.c (silk_Encode), control_codec.c
 control_SNR.c, float/encode_frame_FLP.c (silk_encode_frame_FLP with the
 gain-scaling bitrate loop and LBRR), and float/find_pitch_lags_FLP.c.
 
-Round-1 scope: mono channels (the Opus layer downmixes or falls back
-to CELT for stereo voice), no mid-packet bandwidth switching.
+Mono and stereo (LR->MS with predictor coding, encoder_stereo.py) are
+both supported, as are 10-120 ms packets, LBRR, DTX and in-band FEC.
+The batched device twins live in silk/batch_*.py (decoder, NSQ,
+resampler); this scalar driver is their oracle-validated ground truth.
 """
 
 from __future__ import annotations

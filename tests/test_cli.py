@@ -103,3 +103,47 @@ def test_compare_matches_reference_tool(tmp_path):
     err_p = float(re.search(r"error is ([0-9.]+)", rp.stderr).group(1))
     assert (rc.returncode == 0) == (rp.returncode == 0)
     assert abs(err_c - err_p) <= 2e-3 * max(err_c, 1e-6) + 1e-4
+
+
+def test_compare_matches_oracle_binary(tmp_path):
+    """compare.py's quality metric must agree with the reference
+    opus_compare binary on identical PCM pairs (opus_compare.c:153-382)
+    — both the printed percentage and the pass/fail exit status."""
+    import re
+    import subprocess
+
+    import pytest
+
+    binp = os.path.join(os.path.dirname(__file__), "..", "tools",
+                        "oracle", "build", "opus_compare")
+    if not os.path.exists(binp):
+        pytest.skip("oracle build absent")
+    rng = np.random.default_rng(5)
+    n = 48000  # 1 s
+    t = np.arange(n) / 48000.0
+    clean = (0.3 * np.sin(2 * np.pi * 440 * t)
+             + 0.1 * np.sin(2 * np.pi * 1730 * t)
+             + 0.02 * rng.standard_normal(n))
+    for noise_amp in (0.001, 0.01):
+        degr = clean + noise_amp * rng.standard_normal(n)
+        a = tmp_path / f"a_{noise_amp}.sw"
+        b = tmp_path / f"b_{noise_amp}.sw"
+        # file1 is always stereo interleaved (opus_compare.c:231-236)
+        st = np.stack([clean, clean], axis=1).ravel()
+        (np.clip(st, -1, 1) * 32767).astype("<i2").tofile(a)
+        (np.clip(degr, -1, 1) * 32767).astype("<i2").tofile(b)
+        r = subprocess.run([binp, "-r", "48000", str(a), str(b)],
+                           capture_output=True, text=True)
+        m = re.search(r"weighted error is\s*([0-9.]+)",
+                      r.stdout + r.stderr)
+        assert m, (r.stdout, r.stderr)
+        ref_err = float(m.group(1))
+
+        from opus_codec_tpu import compare as cmod
+        x = cmod.read_pcm16(str(a), 2)
+        x = (0.5 * (x[:, 0] + x[:, 1]))[:, None]
+        y = cmod.read_pcm16(str(b), 1)
+        err, q = cmod.compare(x, y, 1, 48000)
+        assert abs(err - ref_err) < 1e-3 * max(ref_err, 1e-6), \
+            (err, ref_err, noise_amp)
+        assert (q >= 0.0) == (r.returncode == 0), (q, r.returncode)

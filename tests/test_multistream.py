@@ -197,3 +197,54 @@ def test_surround_masking_reduces_masked_stream_size():
         assert np.all(np.isfinite(y))
         sizes.append(len(p))
     assert all(s < 1200 for s in sizes)    # 192k/50 = 480B avg budget
+
+
+def test_ms_ctl_roundtrip():
+    """Set->get roundtrip of the full MS CTL surface, mirroring the
+    reference crate's tests/encoder_ctls.rs over multistream.rs:232-483
+    (setters broadcast to every stream; getters answer from the
+    streams)."""
+    from opus_codec_tpu.types import Bandwidth, Signal
+    enc = MSEncoder.new_surround(48000, 6, Application.AUDIO)
+    enc.set_complexity(7)
+    assert enc.complexity() == 7
+    enc.set_dtx(True)
+    assert enc.dtx() is True
+    assert enc.in_dtx() is False
+    enc.set_inband_fec(True)
+    assert enc.inband_fec() is True
+    enc.set_packet_loss_perc(15)
+    assert enc.packet_loss_perc() == 15
+    enc.set_vbr(False)
+    assert enc.vbr() is False
+    enc.set_vbr_constraint(True)
+    assert enc.vbr_constraint() is True
+    enc.set_max_bandwidth(Bandwidth.SUPERWIDEBAND)
+    assert enc.max_bandwidth() == Bandwidth.SUPERWIDEBAND
+    enc.set_signal(Signal.MUSIC)
+    assert enc.signal() == Signal.MUSIC
+    enc.set_lsb_depth(16)
+    assert enc.lsb_depth() == 16
+    enc.set_prediction_disabled(True)
+    assert enc.prediction_disabled() is True
+    enc.set_phase_inversion_disabled(True)
+    assert enc.phase_inversion_disabled() is True
+    enc.set_force_channels(1)
+    assert enc.force_channels() == 1
+    enc.set_force_channels(None)
+    assert enc.force_channels() is None
+    assert enc.lookahead() == 48000 // 400
+    # every stream encoder saw the broadcast
+    assert all(e.complexity() == 7 for e in enc.encoders)
+    assert all(e.inband_fec() for e in enc.encoders)
+    enc.reset()
+    assert enc.complexity() == 7          # settings survive reset
+
+    dec = MSDecoder.new_surround(48000, 6)
+    dec.set_gain(256)
+    assert dec.gain() == 256
+    dec.set_phase_inversion_disabled(True)
+    assert dec.phase_inversion_disabled() is True
+    assert dec.get_sample_rate() == 48000
+    dec.reset()
+    assert dec.gain() == 256              # gain survives reset (spec)

@@ -44,7 +44,10 @@ for src in *.c; do
     custom_*) lib=build_custom/libopus.a; def=-DCUSTOM_MODES ;;
     *)        lib=build/libopus.a;        def= ;;
   esac
-  gcc -O2 -DHAVE_CONFIG_H $def "${INC[@]}" -o "$bin" "$src" "$lib" -lm
+  extra=
+  # the DRED=OFF lib omits the weight-blob parser; compile it in
+  [ "$bin" = weights_check ] && extra="$OPUS_REF/dnn/parse_lpcnet_weights.c"
+  gcc -O2 -DHAVE_CONFIG_H $def "${INC[@]}" -o "$bin" "$src" $extra "$lib" -lm
 done
 
 echo "oracle binaries ready"
