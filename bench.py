@@ -13,8 +13,18 @@ reference opus_encode() input format), 20 ms frames, CBR 64 kbps, CELT
 mode (complexity-0 decision set).  Packets are spot-checked against
 the scalar decoder (final_range equality) before timing.
 
+The timed loop software-pipelines three stages across the axon tunnel:
+a prefetch thread uploads frame s+2's PCM while the device computes
+frame s+1 and the host fetches/splits frame s's payload.  On this dev
+harness the tunnel's ~20-40 MB/s host->device bandwidth — not the
+codec — is the steady-state wall (7.9 MB of PCM per 82 s-of-audio
+step), so the JSON line also reports the device-side codec throughput
+(`device_rtf`, chained steps on device-resident input, the number a
+production host with a real PCIe/DMA path would see) and the measured
+tunnel bandwidth for the decomposition.
+
 Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...}
 
 vs_baseline is relative to the BASELINE.json north star (>=10,000x
 aggregate realtime on a v5e-8 for 48 kHz stereo encode => 1,250x per
@@ -24,6 +34,9 @@ which vs_baseline reflects).
 import json
 import os
 import time
+from collections import deque
+from concurrent.futures import ThreadPoolExecutor
+
 
 import numpy as np
 
@@ -67,20 +80,41 @@ def main():
             "decode/final_range mismatch"
         dec.reset()
 
-    # timed steady state: software-pipelined host loop.  dispatch for
-    # frame s+LAG (which starts its async PCM upload through the
-    # tunnel) is issued before frame s's finished payload is fetched,
-    # so upload, device compute and fetch overlap — the axon tunnel is
-    # full-duplex, so steady-state cost = max(upload, compute, fetch),
-    # not the sum.
-    from collections import deque
+    # tunnel upload bandwidth (host->device), materialised honestly
+    d = jax.device_put(frames[0])
+    np.asarray(d[:1, :1])
+    t0 = time.perf_counter()
+    for k in range(2):
+        d = jax.device_put(frames[k])
+        np.asarray(d[:1, :1])
+    up_dt = (time.perf_counter() - t0) / 2
+    upload_mbps = frames[0].nbytes / 1e6 / up_dt
 
+    # device-side codec throughput: chained steps on device-resident
+    # input (what a host with a real DMA path would sustain)
+    dev = [jax.device_put(f) for f in frames]
+    jax.block_until_ready(dev)
+    t0 = time.perf_counter()
+    outs = [enc.encode_device_packed(dev[s % 4]) for s in range(steps)]
+    np.asarray(outs[-1][:1])
+    dev_dt = (time.perf_counter() - t0) / steps
+    device_rtf = B * (N / 48000.0) / dev_dt
+
+    # timed steady state: three-stage software pipeline.  A prefetch
+    # thread uploads frame s+2's PCM (jax.device_put releases the GIL
+    # during the tunnel transfer) while the device computes s+1 and
+    # the host fetches frame s's finished payload — steady-state cost
+    # = max(upload, compute, fetch), not the sum.
+    ex = ThreadPoolExecutor(2)
     LAG = 2
     inflight = deque()
+    futs = deque()
+    futs.append(ex.submit(jax.device_put, frames[0]))
     t0 = time.perf_counter()
     total_bytes = 0
     for s in range(steps):
-        inflight.append(enc.encode_device_packed(frames[s % 4]))
+        futs.append(ex.submit(jax.device_put, frames[(s + 1) % 4]))
+        inflight.append(enc.encode_device_packed(futs.popleft().result()))
         if len(inflight) > LAG:
             payload = np.asarray(inflight.popleft())
             pkts, _ = enc.split_payload(payload)
@@ -90,6 +124,7 @@ def main():
         pkts, _ = enc.split_payload(payload)
         total_bytes += sum(len(p) for p in pkts)
     dt = time.perf_counter() - t0
+    ex.shutdown(wait=False)
 
     audio_seconds = B * steps * (N / 48000.0)
     rtf = audio_seconds / dt
@@ -99,6 +134,14 @@ def main():
         "value": round(rtf, 1),
         "unit": "x_realtime_48kHz_mono_20ms_cbr64k_pcm_to_packets",
         "vs_baseline": round((rtf / 2.0) / baseline_per_chip_stereo, 3),
+        "device_rtf": round(device_rtf, 1),
+        "device_vs_baseline": round((device_rtf / 2.0)
+                                    / baseline_per_chip_stereo, 3),
+        "tunnel_upload_MBps": round(upload_mbps, 1),
+        "note": ("e2e is bounded by the dev-harness tunnel's host->"
+                 "device bandwidth (7.9 MB PCM per 82 s-of-audio "
+                 "step); device_rtf chains steps on device-resident "
+                 "input"),
     }))
 
 

@@ -19,7 +19,7 @@ from .bitstream import packet as pkt
 from .errors import OpusError
 from .types import Bandwidth, CodecMode
 
-__all__ = ["CeltBatchEncoder", "CeltBatchDecoder"]
+__all__ = ["CeltBatchEncoder", "CeltBatchDecoder", "OpusBatchEncoder"]
 
 
 class CeltBatchEncoder:
@@ -271,3 +271,89 @@ class CeltBatchDecoder:
 
     def decode(self, packets: List[bytes]) -> np.ndarray:
         return np.asarray(self.decode_step_device(self.parse(packets)))
+
+
+class _ScalarSilkLane:
+    """Per-stream scalar SILK-mode encoders behind the bucket API.
+
+    Stop-gap lane until the batched SILK encoder front half lands: the
+    bucketing/scatter contract (SURVEY §7 step 6) is mode-agnostic, so
+    swapping in a device lane later changes nothing at this seam."""
+
+    def __init__(self, configs, sample_rate: int, frame_size: int):
+        from .api import Encoder
+        from .types import Application, Bandwidth, Bitrate, Signal
+        self.frame_size = frame_size
+        self.encoders = []
+        for c in configs:
+            e = Encoder(sample_rate, 1, Application.VOIP)
+            e.set_bitrate(Bitrate(c["bitrate"]))
+            e.set_signal(Signal.VOICE)
+            e.set_max_bandwidth(Bandwidth(
+                c.get("bandwidth", Bandwidth.WIDEBAND)))
+            e.set_complexity(c.get("complexity", 2))
+            if not c.get("vbr", False):
+                e.set_vbr(False)
+            self.encoders.append(e)
+
+    def encode(self, pcm) -> List[bytes]:
+        out = []
+        for e, row in zip(self.encoders, np.asarray(pcm)):
+            if row.dtype == np.int16:
+                out.append(e.encode(row))
+            else:
+                out.append(e.encode_float(np.asarray(row, np.float32)))
+        return out
+
+
+class OpusBatchEncoder:
+    """Mixed-mode batched encoder: B streams with per-stream codec
+    mode/bitrate, routed through per-bucket batched lanes (EP-style —
+    SURVEY §2.6/§7 step 6: bucketing keeps the device lanes dense when
+    a fleet mixes voice and music streams).
+
+    configs: one dict per stream:
+      {"mode": "celt" | "silk", "bitrate": int, ...}
+    CELT buckets (one per distinct bitrate) run on the device lane
+    (``CeltBatchEncoder``); SILK buckets run the scalar encoder per
+    stream until the batched SILK encoder lands.  ``encode`` scatters
+    packets back to stream order.
+    """
+
+    def __init__(self, configs, sample_rate: int = 48000,
+                 frame_size: int = 960, exact: bool = False):
+        from .parallel.pipeline import bucket_by
+        self.configs = list(configs)
+        self.batch = len(self.configs)
+        keys = [(c["mode"], int(c["bitrate"])) for c in self.configs]
+        self.buckets = bucket_by(keys)
+        self.lanes = {}
+        for key, idx in self.buckets.items():
+            mode, bitrate = key
+            if mode == "celt":
+                self.lanes[key] = CeltBatchEncoder(
+                    len(idx), bitrate=bitrate,
+                    sample_rate=sample_rate, frame_size=frame_size,
+                    exact=exact)
+            elif mode == "silk":
+                self.lanes[key] = _ScalarSilkLane(
+                    [self.configs[i] for i in idx], sample_rate,
+                    frame_size)
+            else:
+                raise OpusError.bad_arg(f"unknown mode {mode!r}")
+
+    def encode(self, pcm) -> List[bytes]:
+        """pcm [B, frame_size] (float or int16) -> per-stream packets
+        in the original stream order."""
+        pcm = np.asarray(pcm)
+        out: List[Optional[bytes]] = [None] * self.batch
+        for key, idx in self.buckets.items():
+            lane = self.lanes[key]
+            sub = pcm[idx]
+            if isinstance(lane, CeltBatchEncoder):
+                pkts, _ = lane.encode_packed(sub)
+            else:
+                pkts = lane.encode(sub)
+            for j, b in enumerate(idx):
+                out[b] = pkts[j]
+        return out

@@ -705,9 +705,13 @@ class _Sched(NamedTuple):
     NBmax: int
     rowlen: int
     kmax: int               # max PVQ pulse count over nodes
-    max_segs: int           # max spectrum windows per node
+    base: int               # group's first spectrum column
+    Wg: int                 # group's spectrum width
     band: np.ndarray        # [n] band index
-    xlo: np.ndarray         # [n] spectrum base of the band
+    win: np.ndarray         # [n] node window start, group-local.
+                            # Windows are STATIC: child-order swaps are
+                            # materialised into the carried spectrum
+                            # instead of tracked as per-stream offsets.
     is_root: np.ndarray     # [n] 1 at each band's first node
     is_n1: np.ndarray       # [n] 1 for width-1 bands (sign path)
     first_band: np.ndarray  # [n] 1 iff band == start
@@ -721,14 +725,13 @@ class _Sched(NamedTuple):
     pulse_cap: np.ndarray   # [n] for compute_qn at this node's split
 
 
-def _sched_from_recs(recs, start: int, widths, lm: int,
-                     cache_bits) -> _Sched:
+def _sched_from_recs(recs, start: int, cache_bits) -> _Sched:
     n = len(recs)
     NBmax = max(r["N"] for r in recs)
     rowlen = max(r["maxq"] for r in recs) + 1
     kmax = max(1, max(get_pulses(r["maxq"]) for r in recs))
-    max_segs = max((int(widths[r["band"]]) << lm) // r["N"]
-                   for r in recs)
+    base = min(r["xlo"] for r in recs)
+    Wg = max(r["xlo"] + r["N"] for r in recs) - base
     cache_rows = np.zeros((n, rowlen), np.int32)
     for j, r in enumerate(recs):
         if not r["is_n1"]:
@@ -742,8 +745,10 @@ def _sched_from_recs(recs, start: int, widths, lm: int,
 
     return _Sched(
         n_steps=n, NBmax=NBmax, rowlen=rowlen, kmax=kmax,
-        max_segs=max_segs,
-        band=arr("band"), xlo=arr("xlo"), is_root=arr("is_root"),
+        base=base, Wg=Wg,
+        band=arr("band"),
+        win=np.asarray([r["xlo"] - base for r in recs], np.int32),
+        is_root=arr("is_root"),
         is_n1=arr("is_n1"),
         first_band=np.asarray(
             [int(r["band"] == start and r["is_root"]) for r in recs],
@@ -791,22 +796,23 @@ def _band_schedule_groups(lm: int, start: int, end: int):
                          pcap=pcap))
         idx = len(recs) - 1
         if can_split:
+            # static child windows: the first-coded child always owns
+            # [xlo, xlo+half) — a parent-order swap physically swaps
+            # the halves in the carried spectrum instead
             half = N >> 1
             add(recs, band, xlo, 0, 0, half, lmk - 1, idx, 0)
-            add(recs, band, xlo, 0, 0, half, lmk - 1, idx, 1)
+            add(recs, band, xlo + half, 0, 0, half, lmk - 1, idx, 1)
         return idx
 
     for i in range(start, end):
         w = int(widths[i])
         if cur_width is not None and w != cur_width:
-            groups.append(_sched_from_recs(cur, start, widths, lm,
-                                           t.cache_bits))
+            groups.append(_sched_from_recs(cur, start, t.cache_bits))
             cur = []
         cur_width = w
         xlo = M * int(t.e_bands[i])
         add(cur, i, xlo, 1, int(M * w == 1), M * w, lm, -1, 0)
-    groups.append(_sched_from_recs(cur, start, widths, lm,
-                                   t.cache_bits))
+    groups.append(_sched_from_recs(cur, start, t.cache_bits))
     return tuple(groups)
 
 
@@ -872,7 +878,7 @@ def _pvq_search_node(Xseg, K, valid, Nj, kmax_j, exact: bool):
     def cond(carry):
         return jnp.any(carry[4] > 0)
 
-    def body(carry):
+    def one_pulse(carry):
         iy, y2, xy, yy, left = carry
         go = left > 0
         yy1 = yy + 1.0
@@ -890,34 +896,83 @@ def _pvq_search_node(Xseg, K, valid, Nj, kmax_j, exact: bool):
         iy = iy + onehot_b.astype(_i32)
         return iy, y2, xy2, yy2, left - go.astype(_i32)
 
+    body = one_pulse
+
     pulses_left = jnp.minimum(pulses_left, iters)   # loop-count bound
     iy, y2, xy, yy, _ = jax.lax.while_loop(
         cond, body, (iy, y2, xy, yy, pulses_left))
     return jnp.where(sign, -iy, iy)
 
 
-def _icwrs_node(iy, u_dims, u_row, Nj):
+@lru_cache(maxsize=None)
+def _icwrs_col_parts(group_key):
+    """Static column partition for the ragged icwrs U-select.
+
+    Column c (of the right-aligned padded vector) sits at distance
+    d = NB - c from the right edge and is only read by nodes of width
+    >= d.  Node pulse bounds shrink sharply with width (K*N is roughly
+    constant), so the one-hot compare range per column is bounded by
+    the max K over node widths >= d — the full 128-ish range is needed
+    only for the last few columns.  Returns ((c0, c1, kdim), ...) of
+    contiguous equal-bound ranges covering [0, NB-1)."""
+    NB, width_bounds = group_key
+    kb = dict(width_bounds)
+    widths = sorted(kb)
+
+    def bound_for_dim(d):
+        return max((kb[w] for w in widths if w >= d), default=1) + 3
+
+    parts = []
+    c = 0
+    while c < NB - 1:
+        b = bound_for_dim(NB - c)
+        c1 = c + 1
+        while c1 < NB - 1 and bound_for_dim(NB - c1) == b:
+            c1 += 1
+        parts.append((c, c1, b))
+        c = c1
+    return tuple(parts)
+
+
+def _group_icwrs_key(s: _Sched):
+    kb = {}
+    for N, maxq, n1 in zip(s.N.tolist(), s.maxq.tolist(),
+                           s.is_n1.tolist()):
+        if not n1:
+            kb[int(N)] = max(kb.get(int(N), 0),
+                             get_pulses(int(maxq)))
+    return (s.NBmax, tuple(sorted(kb.items())))
+
+
+def _icwrs_node(iy, u_parts, u_row, Nj):
     """icwrs on a width-padded pulse vector (cwrs.c:440-461), fully
     vectorized: the running pulse count at each position is a suffix
     sum, so every U-table term evaluates in parallel as a one-hot
-    select (uint32 sums wrap identically in any order).
+    select (uint32 sums wrap identically in any order).  The select is
+    *ragged*: each static column range uses only the K range its
+    possible node widths allow (``_icwrs_col_parts``).
 
-    u_dims: [NB, kdim] constant with u_dims[c] = U(NB - c, ·);
+    u_parts: [((c0, c1, kd), u_slice [c1-c0, kd]), ...];
     u_row: [kdim] = U(Nj, ·) for this node (a static xs row)."""
     B, NB = iy.shape
-    kdim = u_dims.shape[1]
     iyr = jnp.roll(iy, NB - Nj, axis=1)          # values in cols tail
     ay = jnp.abs(iyr)
     # suffix[p] = sum of |y| at positions > p
     suffix = jnp.cumsum(ay[:, ::-1], axis=1)[:, ::-1] - ay
     cols = jnp.arange(NB)[None, :]
     mask = (cols < NB - 1) & (cols >= NB - Nj)
-    t1 = _sel_tab(u_dims, jnp.clip(suffix, 0, kdim - 1))
-    t2 = jnp.where(iyr < 0,
-                   _sel_tab(u_dims,
-                            jnp.clip(suffix + ay + 1, 0, kdim - 1)),
-                   np.uint32(0))
-    idx = jnp.sum(jnp.where(mask, t1 + t2, np.uint32(0)), axis=1,
+    tparts = []
+    for (c0, c1, kd), up in u_parts:
+        sfx = suffix[:, c0:c1]
+        t1p = _sel_tab(up, jnp.clip(sfx, 0, kd - 1))
+        t2p = jnp.where(iyr[:, c0:c1] < 0,
+                        _sel_tab(up, jnp.clip(sfx + ay[:, c0:c1] + 1,
+                                              0, kd - 1)),
+                        np.uint32(0))
+        tparts.append(t1p + t2p)
+    t12 = jnp.concatenate(
+        tparts + [jnp.zeros((B, 1), jnp.uint32)], axis=1)
+    idx = jnp.sum(jnp.where(mask, t12, np.uint32(0)), axis=1,
                   dtype=jnp.uint32)
     idx = idx + (iyr[:, NB - 1] < 0).astype(jnp.uint32)
     k = suffix[:, 0] + ay[:, 0]                   # total pulses
@@ -956,18 +1011,28 @@ def _quant_group(s: _Sched, X, pulses, coded_bands, total_bits_q3,
     n = s.n_steps
     col0 = np.arange(NB)
     kdim = s.kmax + 3
-    # U-table views: constant per-column rows (dim = NB - col) and a
-    # static per-node row — all lookups become one-hot selects, sized
-    # to this group's pulse bound
-    u_dims = jnp.asarray(t.u_tab[np.clip(NB - col0, 0,
-                                         t.u_tab.shape[0] - 1),
-                                 :kdim])
+    # U-table views: constant per-column rows (dim = NB - col) with a
+    # ragged per-column-range K bound, and a static per-node row — all
+    # lookups become one-hot selects sized to what each column can
+    # actually hold
+    u_parts = tuple(
+        ((c0, c1, min(kd, t.u_tab.shape[1])),
+         jnp.asarray(t.u_tab[np.clip(NB - np.arange(c0, c1), 0,
+                                     t.u_tab.shape[0] - 1),
+                             :min(kd, t.u_tab.shape[1])]))
+        for c0, c1, kd in _icwrs_col_parts(_group_icwrs_key(s)))
     u_rows = np.stack([t.u_tab[int(Nv), :kdim] for Nv in s.N])
-    max_segs = s.max_segs                           # tree segments/band
-    Xpad = jnp.concatenate([X, jnp.zeros((B, NB), X.dtype)], axis=1)
+    # Group spectrum with NB of zero padding both sides: node windows
+    # are static (schedule), child-order swaps are materialised into
+    # this carried copy, so every segment read is a uniform slice.
+    Xg0 = jnp.concatenate(
+        [jnp.zeros((B, NB), X.dtype),
+         jax.lax.slice_in_dim(X, s.base, s.base + s.Wg, axis=1),
+         jnp.zeros((B, NB), X.dtype)], axis=1)
 
     xs = {
-        "band": jnp.asarray(s.band), "xlo": jnp.asarray(s.xlo),
+        "band": jnp.asarray(s.band),
+        "win": jnp.asarray(s.win + NB),
         "is_root": jnp.asarray(s.is_root), "is_n1": jnp.asarray(s.is_n1),
         "first_band": jnp.asarray(s.first_band),
         "N": jnp.asarray(s.N), "can_split": jnp.asarray(s.can_split),
@@ -983,8 +1048,8 @@ def _quant_group(s: _Sched, X, pulses, coded_bands, total_bits_q3,
 
     zi = jnp.zeros((B, n), _i32)
     carry0 = dict(
-        rng=rng0, nbt=nbt0, balance=balance0, rem=rem0,
-        off_arr=zi, split_arr=jnp.zeros((B, n), bool),
+        rng=rng0, nbt=nbt0, balance=balance0, rem=rem0, Xg=Xg0,
+        split_arr=jnp.zeros((B, n), bool),
         mbits_arr=zi, sbits_arr=zi, swap_arr=jnp.zeros((B, n), bool),
         itheta_arr=zi, snap_arr=zi)
 
@@ -1018,7 +1083,6 @@ def _quant_group(s: _Sched, X, pulses, coded_bands, total_bits_q3,
             return jax.lax.dynamic_slice_in_dim(
                 cy[name], par, 1, axis=1)[:, 0]
 
-        p_off = g("off_arr")
         p_split = g("split_arr")
         p_mb = g("mbits_arr")
         p_sb = g("sbits_arr")
@@ -1034,11 +1098,8 @@ def _quant_group(s: _Sched, X, pulses, coded_bands, total_bits_q3,
         b_child = jnp.where(is2,
                             second_b + jnp.where(give, extra, 0),
                             first_b)
-        # child offset: this node is parent's mid half unless swapped
-        off_child = jnp.where(is2 ^ p_sw, p_off + Nj, p_off)
 
         b_in = jnp.where(is_root, b_root, b_child)
-        off_in = jnp.where(is_root, 0, off_child)
         act_in = jnp.where(is_root, act_band, p_split)
         rem_in = jnp.where(is_root, remaining, cy["rem"])
 
@@ -1046,17 +1107,13 @@ def _quant_group(s: _Sched, X, pulses, coded_bands, total_bits_q3,
         split = act_in & (x["can_split"] == 1) & (b_in > x["thresh"])
         leaf = act_in & ~split & ~is_n1
 
-        # ---- this node's spectrum segment (zero-padded): offsets are
-        # tree-aligned multiples of Nj, so the per-stream window is a
-        # select over uniform-start slices (no TPU gather)
+        # ---- this node's spectrum segment: the window is STATIC
+        # (swaps were materialised by ancestor steps), so one uniform
+        # slice fetches it — no per-stream select over candidates
         valid = col0[None, :] < Nj
-        seg = jnp.zeros((B, NB), dt)
-        for m_var in range(max_segs):
-            start_m = x["xlo"] + m_var * Nj
-            win = jax.lax.dynamic_slice_in_dim(Xpad, start_m, NB,
+        seg_raw = jax.lax.dynamic_slice_in_dim(cy["Xg"], x["win"], NB,
                                                axis=1)
-            seg = jnp.where((off_in == m_var * Nj)[:, None], win, seg)
-        seg = jnp.where(valid, seg, jnp.asarray(0.0, dt))
+        seg = jnp.where(valid, seg_raw, jnp.asarray(0.0, dt))
 
         # ---- leaf: bits->pulses, PVQ search, CWRS (vq.c, cwrs.c)
         row = x["cache_row"]                       # [rowlen]
@@ -1102,7 +1159,7 @@ def _quant_group(s: _Sched, X, pulses, coded_bands, total_bits_q3,
         code = leaf & (q > 0)
         iy = _pvq_search_node(seg, jnp.maximum(K, 1), valid, Nj,
                               kmax_j, exact)
-        idx, v = _icwrs_node(iy, u_dims, x["u_row"], Nj)
+        idx, v = _icwrs_node(iy, u_parts, x["u_row"], Nj)
         rng, nbt, row1, row2 = bc.uint_rn(
             rng, nbt, code, idx, jnp.maximum(v, np.uint32(2)))
 
@@ -1153,6 +1210,22 @@ def _quant_group(s: _Sched, X, pulses, coded_bands, total_bits_q3,
         sbits = b_post - mbits
         swap = mbits < sbits
 
+        # ---- materialise the coding-order swap into the carried
+        # spectrum: when the side half is coded first, physically
+        # exchange the halves so the children's static windows hold
+        # the right data.  The neighbours of shifted reads/writes are
+        # rewritten with their own (unchanged) values.
+        N_q = Nj >> 1
+        rm = jax.lax.dynamic_slice_in_dim(cy["Xg"], x["win"] + N_q,
+                                          NB, axis=1)
+        rp = jax.lax.dynamic_slice_in_dim(cy["Xg"], x["win"] - N_q,
+                                          NB, axis=1)
+        swapped = jnp.where(col0[None, :] < N_q, rm, rp)
+        need_sw = split & swap
+        wv = jnp.where(valid & need_sw[:, None], swapped, seg_raw)
+        Xg_next = jax.lax.dynamic_update_slice(
+            cy["Xg"], wv.astype(dt), (jnp.int32(0), x["win"]))
+
         # ---- width-1 band: one sign bit (bands.c:904-937)
         n1_has = is_n1 & act_in & (remaining >= (1 << BITRES))
         sign = (seg[:, 0] < 0).astype(_i32)
@@ -1169,7 +1242,7 @@ def _quant_group(s: _Sched, X, pulses, coded_bands, total_bits_q3,
         cy2["rng"], cy2["nbt"] = rng, nbt
         cy2["balance"] = balance
         cy2["rem"] = rem_post
-        cy2["off_arr"] = setcol(cy["off_arr"], off_in)
+        cy2["Xg"] = Xg_next
         cy2["split_arr"] = setcol(cy["split_arr"], split)
         cy2["mbits_arr"] = setcol(cy["mbits_arr"], mbits)
         cy2["sbits_arr"] = setcol(cy["sbits_arr"], sbits)

@@ -180,9 +180,19 @@ def pack_plan_device(ops, storage, max_storage: int):
     if npad:
         ops = jnp.concatenate(
             [ops, jnp.full((B, npad, 4), -1, _i32)], axis=1)
-    nsteps = (n + npad) // ROWS_PER_STEP
-    xs = jnp.moveaxis(
-        ops.reshape(B, nsteps, ROWS_PER_STEP, 4), 1, 0)
+
+    # Union-valid row compaction: the plan is padded for worst-case
+    # emission (~1.8k rows at LM=3) but in a typical CBR batch only
+    # ~400 sites fire for *any* stream.  Stable-partition the live row
+    # indices to the front and run the serial coder loop with a
+    # DYNAMIC trip count — rows the whole batch skips cost nothing.
+    # Rows are fetched through the tiny ``order`` vector with uniform
+    # dynamic slices (no per-stream gather), preserving plan order.
+    av = jnp.any(ops[:, :, 0] >= 0, axis=0)
+    order = jnp.argsort(~av, stable=True).astype(_i32)
+    n_keep = jnp.sum(av.astype(_i32))
+    nsteps = (n_keep + ROWS_PER_STEP - 1) // ROWS_PER_STEP
+    ops_t = jnp.moveaxis(ops, 1, 0)       # [n_tot, B, 4] row-major
 
     S0 = dict(
         front=jnp.zeros((B, max_storage), _u16),
@@ -197,16 +207,24 @@ def pack_plan_device(ops, storage, max_storage: int):
         nend=jnp.zeros((B,), _i32),
     )
 
-    def step(S, rows):
+    def cond(carry):
+        return carry[0] < nsteps
+
+    def step(carry):
+        i, S = carry
         S = dict(S)
         writes, tail_writes = [], []
+        idx = jax.lax.dynamic_slice_in_dim(order, i * ROWS_PER_STEP,
+                                           ROWS_PER_STEP)
         for k in range(ROWS_PER_STEP):
-            _row_update(writes, tail_writes, S, rows[:, k])
+            row = jax.lax.dynamic_slice_in_dim(ops_t, idx[k], 1,
+                                               axis=0)[0]
+            _row_update(writes, tail_writes, S, row)
         S["front"] = _apply_writes(S["front"], writes)
         S["tail"] = _apply_writes(S["tail"], tail_writes)
-        return S, None
+        return i + 1, S
 
-    S, _ = jax.lax.scan(step, S0, xs)
+    _, S = jax.lax.while_loop(cond, step, (jnp.int32(0), S0))
     S = dict(S)
 
     # ---- ec_enc_done (entenc.c:255-305)
