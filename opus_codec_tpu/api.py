@@ -762,12 +762,23 @@ class Encoder:
                 celt.reset()
         return frame, rng
 
+    def _new_silk(self):
+        """Fresh SILK encoder, re-installing the batched-NSQ hook if a
+        batch backend owns this stream (silk.batch_encoder)."""
+        from .silk.encoder import SilkEncoder
+        s = SilkEncoder()
+        hook = getattr(self, "_nsq_hook", None)
+        if hook is not None:
+            s.ch.nsq_hook = hook
+            s.ch2.nsq_hook = hook
+        return s
+
     def _silk_prefill(self, qms: int, bps: int, bw: Bandwidth):
         """Warm a fresh SILK encoder with the previous frame's last
         10 ms (silk prefill analogue, opus_encoder.c:2013-2040) —
         output is discarded."""
         from .silk.encoder import EncControl, SilkEncoder
-        self._silk = SilkEncoder()
+        self._silk = self._new_silk()
         bw = Bandwidth(min(int(bw), int(Bandwidth.WIDEBAND)))
         ctl = EncControl(
             API_sampleRate=self.sample_rate, payloadSize_ms=10,
@@ -784,7 +795,7 @@ class Encoder:
             self._silk.encode(ctl, np.clip(pcm * 32768.0, -32768, 32767),
                               enc, 1275)
         except Exception:
-            self._silk = SilkEncoder()   # prefill is best-effort
+            self._silk = self._new_silk()   # prefill is best-effort
 
     def _decide_fec(self, mode, bandwidth: int, rate: int):
         """decide_fec (opus_encoder.c:811-842): rate-gated LBRR with
@@ -888,7 +899,7 @@ class Encoder:
             return out
         from .silk.encoder import EncControl, SilkEncoder
         if self._silk is None:
-            self._silk = SilkEncoder()
+            self._silk = self._new_silk()
         n = frames.shape[1]
         frame_ms = qms // 4
         bw = Bandwidth(max(int(bw), int(Bandwidth.SUPERWIDEBAND)))
@@ -1009,7 +1020,7 @@ class Encoder:
                      red=(False, False, 0)) -> bytes:
         from .silk.encoder import EncControl, SilkEncoder
         if self._silk is None:
-            self._silk = SilkEncoder()
+            self._silk = self._new_silk()
         if stream_channels is None:
             stream_channels = self.channels
         celt_frames = frames    # full-width pcm for redundant CELT frames

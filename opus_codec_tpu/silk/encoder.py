@@ -588,6 +588,17 @@ class SilkEncoderChannel:
         x16 = np.array([_f2i(v) for v in
                         self.x_buf[x_start:x_start + self.frame_length]],
                        np.int64)
+        # Injectable NSQ backend: the batched device lane
+        # (silk.batch_encoder) intercepts every quantizer call here —
+        # same seam, same Q-domain arguments — and replays it through
+        # silk_nsq_batch / silk_nsq_del_dec_batch for a whole stream
+        # batch at once.
+        hook = getattr(self, "nsq_hook", None)
+        if hook is not None:
+            return hook(self, nsq_state, indices, x16, Pred_Q12,
+                        LTP_Q14, AR_Q13, Harm_Q14, Tilt_Q14, LF_shp_Q14,
+                        Gains_Q16, ctrl.pitchL, Lambda_Q10,
+                        LTP_scale_Q14)
         # NSQ variant selection (wrappers_FLP.c:138-143)
         if self.nStatesDelayedDecision > 1 or self.warping_Q16 > 0:
             return nsq_del_dec(self, nsq_state, indices, x16, Pred_Q12,
