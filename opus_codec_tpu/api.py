@@ -771,6 +771,8 @@ class Encoder:
         if hook is not None:
             s.ch.nsq_hook = hook
             s.ch2.nsq_hook = hook
+            s.ch.nlsf_hook = hook.nlsf
+            s.ch2.nlsf_hook = hook.nlsf
         return s
 
     def _silk_prefill(self, qms: int, bps: int, bw: Bandwidth):

@@ -29,7 +29,7 @@ INT32_MIN = np.int32(-0x80000000)
 __all__ = [
     "wrap32", "sext16", "sat16", "smulwb", "smlawb", "smulbb", "smlabb",
     "smulww", "smlaww", "rshift_round", "add_sat32", "lshift_sat32",
-    "silk_rand",
+    "silk_rand", "clz32", "smmul", "div32_varq", "lin2log",
 ]
 
 
@@ -119,3 +119,71 @@ def lshift_sat32(a, shift: int):
 def silk_rand(seed):
     """SigProc_FIX.h silk_RAND: 907633515 + seed*196314165 (wraps)."""
     return np.int32(907633515) + _as32(seed) * np.int32(196314165)
+
+
+def clz32(x):
+    """silk_CLZ32 on uint32-reinterpreted values (32 for 0)."""
+    v = jnp.asarray(x).astype(_u32)
+    n = jnp.zeros(v.shape, _i32)
+    for s in (16, 8, 4, 2, 1):
+        big = v >= (_u32(1) << s)
+        n = n + jnp.where(big, s, 0)
+        v = jnp.where(big, v >> s, v)
+    return jnp.where(jnp.asarray(x).astype(_u32) == 0, 32, 31 - n)
+
+
+def smmul(a, b):
+    """silk_SMMUL: ((int64)a * b) >> 32, via 16-bit limb mulhi."""
+    ah, al = _split(a)
+    bh, bl = _split(b)
+    lo = (al.astype(_u32) * bl.astype(_u32))
+    t = ah * bl + (lo >> 16).astype(_i32)          # fits int32
+    t2 = al * bh + jnp.bitwise_and(t, 0xFFFF)      # fits int32
+    return ah * bh + (t >> 16) + (t2 >> 16)
+
+
+def _div32_16_trunc(a, b):
+    """C-style truncating int32 division (silk_DIV32_16)."""
+    import jax
+    return jax.lax.div(_as32(a), _as32(b))
+
+
+def _lshift_sat32_var(a, shift):
+    """LSHIFT_SAT32 with per-element shift amounts."""
+    a = _as32(a)
+    shift = _as32(shift)
+    lo = INT32_MIN >> shift
+    hi = INT32_MAX >> shift
+    return jnp.clip(a, lo, hi) << shift
+
+
+def div32_varq(a32, b32, qres: int):
+    """silk_DIV32_varQ (Inlines.h:97-140), elementwise; b32 != 0."""
+    a32 = _as32(a32)
+    b32 = _as32(b32)
+    a_headrm = clz32(jnp.abs(a32)) - 1
+    a_nrm = wrap32(a32 << a_headrm)
+    b_headrm = clz32(jnp.abs(b32)) - 1
+    b_nrm = wrap32(b32 << b_headrm)
+    b_inv = _div32_16_trunc(INT32_MAX >> 2, b_nrm >> 16)
+    result = smulwb(a_nrm, b_inv)
+    a_nrm = wrap32(a_nrm - wrap32(smmul(b_nrm, result) << 3))
+    result = smlawb(result, a_nrm, b_inv)
+    lshift = 29 + a_headrm - b_headrm - qres
+    neg = _lshift_sat32_var(result, jnp.maximum(-lshift, 0))
+    pos = result >> jnp.clip(lshift, 0, 31)
+    return jnp.where(lshift < 0, neg,
+                     jnp.where(lshift < 32, pos, 0))
+
+
+def lin2log(in_lin):
+    """silk_lin2log (lin2log.c), elementwise; in_lin > 0."""
+    x = _as32(in_lin)
+    lz = clz32(x)
+    rot = jnp.bitwise_and(24 - lz, 31).astype(_u32)
+    xu = x.astype(_u32)
+    frac = jnp.bitwise_and(
+        ((xu >> rot) | (xu << ((_u32(32) - rot)
+                               & _u32(31)))).astype(_i32), 0x7F)
+    frac = jnp.where(lz == 24, jnp.bitwise_and(x, 0x7F), frac)
+    return smlawb(frac, frac * (128 - frac), 179) + ((31 - lz) << 7)

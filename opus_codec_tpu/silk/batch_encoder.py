@@ -30,6 +30,7 @@ from typing import Dict, List, Optional
 
 import numpy as np
 
+from . import batch_nlsf as bnl
 from . import batch_nsq as bn
 from . import batch_nsq_dd as bdd
 
@@ -38,7 +39,7 @@ __all__ = ["NsqBatchBackend", "SilkBatchEncoder"]
 
 class _NsqCall:
     __slots__ = ("rec", "nsq_state", "indices", "key", "done",
-                 "pulses")
+                 "pulses", "result")
 
     def __init__(self, rec, nsq_state, indices, key):
         self.rec = rec
@@ -47,6 +48,7 @@ class _NsqCall:
         self.key = key
         self.done = False
         self.pulses = None
+        self.result = None
 
 
 def _build_record(ch, nsq_state, indices, x16, Pred_Q12, LTP_Q14,
@@ -114,6 +116,28 @@ class NsqBatchBackend:
             self.cond.notify_all()
         return call.pulses
 
+    def nlsf(self, ch, nlsf_q15, w_qw, mu_q20):
+        """NLSF-quantizer seam (encoder_analysis.process_nlsfs hook):
+        park the call; the round executes silk.batch_nlsf for the
+        whole batch.  Returns (indices, q_nlsf)."""
+        from .nlsf import nlsf_stabilize
+        cb = ch.psNLSF_CB
+        stab = list(map(int, nlsf_q15))
+        nlsf_stabilize(stab, cb.delta_min_q15, cb.order)
+        rec = dict(nlsf=stab, w_q2=list(map(int, w_qw)),
+                   mu=int(mu_q20), st=int(ch.indices.signalType))
+        key = ("nlsf", int(cb.order), int(ch.NLSF_MSVQ_Survivors))
+        call = _NsqCall(rec, None, None, key)
+        with self.cond:
+            self.pending.append(call)
+            self.blocked += 1
+            self.cond.notify_all()
+            while not call.done:
+                self.cond.wait()
+            self.blocked -= 1
+            self.cond.notify_all()
+        return call.result
+
     # ---- orchestrator side
     def run_rounds(self):
         """Drive barrier rounds until every live worker finished.
@@ -147,6 +171,9 @@ class NsqBatchBackend:
             self._execute_group(key, grp)
 
     def _execute_group(self, key, grp: List[_NsqCall]):
+        if key[0] == "nlsf":
+            self._execute_nlsf(key, grp)
+            return
         variant, fs, nb, n_states, po, so = key
         B = self.batch
         # pad to the fixed compile batch with copies of the first call
@@ -208,6 +235,25 @@ class NsqBatchBackend:
             if seed_out is not None:
                 c.indices.Seed = int(seed_out[i])
             c.pulses = [int(v) for v in pulses[i]]
+
+
+    def _execute_nlsf(self, key, grp: List[_NsqCall]):
+        _tag, order, ns = key
+        from .nlsf import CB_NB_MB, CB_WB, nlsf_decode
+        cb = CB_WB if order == 16 else CB_NB_MB
+        recs = [c.rec for c in grp]
+        while len(recs) < self.batch:
+            recs.append(grp[0].rec)
+        nlsf = _stack_i32([r["nlsf"] for r in recs])
+        w = _stack_i32([r["w_q2"] for r in recs])
+        mu = _stack_i32([r["mu"] for r in recs])
+        st = _stack_i32([r["st"] for r in recs])
+        idx, _rd = bnl.nlsf_encode_batch_jit(
+            nlsf, w, mu, st, n_survivors=ns, order=order)
+        idx = np.asarray(idx)
+        for i, c in enumerate(grp):
+            indices = [int(v) for v in idx[i]]
+            c.result = (indices, nlsf_decode(indices, cb))
 
 
 def _stack_i32(rows) -> "np.ndarray":

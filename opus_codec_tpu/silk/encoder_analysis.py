@@ -641,9 +641,16 @@ def process_nlsfs(enc, nlsf_q15: List[int], prev_nlsf_q15: List[int]):
                             enc.indices.NLSFInterpCoef_Q2)) << 11
         for i in range(enc.predictLPCOrder):
             w_qw[i] = (w_qw[i] >> 1) + (SMULBB(w0_qw[i], i_sqr_q15) >> 16)
-    indices, q_nlsf = nlsf_encode(nlsf_q15, enc.psNLSF_CB, w_qw,
-                                  NLSF_mu_Q20, enc.NLSF_MSVQ_Survivors,
-                                  enc.indices.signalType)
+    # Injectable NLSF quantizer backend: the batched device trellis
+    # (silk.batch_nlsf via silk.batch_encoder's barrier) intercepts
+    # here with identical inputs/outputs.
+    hook = getattr(enc, "nlsf_hook", None)
+    if hook is not None:
+        indices, q_nlsf = hook(enc, nlsf_q15, w_qw, NLSF_mu_Q20)
+    else:
+        indices, q_nlsf = nlsf_encode(
+            nlsf_q15, enc.psNLSF_CB, w_qw, NLSF_mu_Q20,
+            enc.NLSF_MSVQ_Survivors, enc.indices.signalType)
     enc.indices.NLSFIndices = indices
     pred_q12 = [[0] * MAX_LPC_ORDER, [0] * MAX_LPC_ORDER]
     a1 = nlsf2a(q_nlsf, enc.predictLPCOrder)
