@@ -773,6 +773,8 @@ class Encoder:
             s.ch2.nsq_hook = hook
             s.ch.nlsf_hook = hook.nlsf
             s.ch2.nlsf_hook = hook.nlsf
+            s.ch.ltp_hook = hook.ltp
+            s.ch2.ltp_hook = hook.ltp
         return s
 
     def _silk_prefill(self, qms: int, bps: int, bw: Bandwidth):

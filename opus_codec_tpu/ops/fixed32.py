@@ -29,7 +29,8 @@ INT32_MIN = np.int32(-0x80000000)
 __all__ = [
     "wrap32", "sext16", "sat16", "smulwb", "smlawb", "smulbb", "smlabb",
     "smulww", "smlaww", "rshift_round", "add_sat32", "lshift_sat32",
-    "silk_rand", "clz32", "smmul", "div32_varq", "lin2log",
+    "silk_rand", "clz32", "smmul", "div32_varq", "lin2log", "log2lin",
+    "add_pos_sat32",
 ]
 
 
@@ -174,6 +175,27 @@ def div32_varq(a32, b32, qres: int):
     pos = result >> jnp.clip(lshift, 0, 31)
     return jnp.where(lshift < 0, neg,
                      jnp.where(lshift < 32, pos, 0))
+
+
+def add_pos_sat32(a, b):
+    """silk_ADD_POS_SAT32: INT32_MAX whenever the wrapped sum's sign
+    bit is set."""
+    s = wrap32(_as32(a) + _as32(b))
+    return jnp.where(s < 0, INT32_MAX, s)
+
+
+def log2lin(in_log_q7):
+    """silk_log2lin (log2lin.c:36-59), elementwise."""
+    x = _as32(in_log_q7)
+    xe = jnp.clip(x >> 7, 0, 30)
+    out = _as32(1) << xe
+    frac = jnp.bitwise_and(x, 0x7F)
+    corr = smlawb(frac, smulbb(frac, 128 - frac), -174)
+    small = out + ((out * corr) >> 7)
+    big = wrap32(out + (out >> 7) * corr)
+    r = jnp.where(x < 2048, small, big)
+    return jnp.where(x < 0, 0,
+                     jnp.where(x >= 3967, INT32_MAX, r))
 
 
 def lin2log(in_lin):

@@ -30,6 +30,7 @@ from typing import Dict, List, Optional
 
 import numpy as np
 
+from . import batch_ltp as blt
 from . import batch_nlsf as bnl
 from . import batch_nsq as bn
 from . import batch_nsq_dd as bdd
@@ -138,6 +139,28 @@ class NsqBatchBackend:
             self.cond.notify_all()
         return call.result
 
+    def ltp(self, ch, XX, xX):
+        """LTP gain VQ seam (encoder.find_pred_coefs hook): park the
+        call; the round executes silk.batch_ltp for the batch.
+        Returns (B_Q14, cbk_index, per_index, slg, pred_gain)."""
+        from .encoder_analysis import _f2i
+        XXq = np.array([_f2i(v * 131072.0) for v in
+                        np.asarray(XX).reshape(-1)], np.int64)
+        xXq = np.array([_f2i(v * 131072.0) for v in
+                        np.asarray(xX).reshape(-1)], np.int64)
+        rec = dict(XX=XXq, xX=xXq, slg=int(ch.sum_log_gain_Q7))
+        key = ("ltp", int(ch.nb_subfr), int(ch.subfr_length))
+        call = _NsqCall(rec, None, None, key)
+        with self.cond:
+            self.pending.append(call)
+            self.blocked += 1
+            self.cond.notify_all()
+            while not call.done:
+                self.cond.wait()
+            self.blocked -= 1
+            self.cond.notify_all()
+        return call.result
+
     # ---- orchestrator side
     def run_rounds(self):
         """Drive barrier rounds until every live worker finished.
@@ -173,6 +196,9 @@ class NsqBatchBackend:
     def _execute_group(self, key, grp: List[_NsqCall]):
         if key[0] == "nlsf":
             self._execute_nlsf(key, grp)
+            return
+        if key[0] == "ltp":
+            self._execute_ltp(key, grp)
             return
         variant, fs, nb, n_states, po, so = key
         B = self.batch
@@ -254,6 +280,29 @@ class NsqBatchBackend:
         for i, c in enumerate(grp):
             indices = [int(v) for v in idx[i]]
             c.result = (indices, nlsf_decode(indices, cb))
+
+
+    def _execute_ltp(self, key, grp: List[_NsqCall]):
+        _tag, nb, subfr_len = key
+        recs = [c.rec for c in grp]
+        while len(recs) < self.batch:
+            recs.append(grp[0].rec)
+        XX = _stack_i32([r["XX"] for r in recs]).reshape(
+            len(recs), nb, 25)
+        xX = _stack_i32([r["xX"] for r in recs]).reshape(
+            len(recs), nb, 5)
+        slg = _stack_i32([r["slg"] for r in recs])
+        bq14, cbk, per, slg_o, pg = blt.quant_ltp_gains_batch_jit(
+            XX, xX, slg, subfr_len=subfr_len, nb_subfr=nb)
+        bq14 = np.asarray(bq14)
+        cbk = np.asarray(cbk)
+        per = np.asarray(per)
+        slg_o = np.asarray(slg_o)
+        pg = np.asarray(pg)
+        for i, c in enumerate(grp):
+            c.result = ([int(v) for v in bq14[i]],
+                        [int(v) for v in cbk[i]], int(per[i]),
+                        int(slg_o[i]), int(pg[i]))
 
 
 def _stack_i32(rows) -> "np.ndarray":

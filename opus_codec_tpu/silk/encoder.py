@@ -443,10 +443,16 @@ class SilkEncoderChannel:
         if self.indices.signalType == TYPE_VOICED:
             XX, xX = find_ltp(res_pitch, x_start, ctrl.pitchL,
                               self.subfr_length, self.nb_subfr)
-            (B_q14, ltp_idx, per_idx, self.sum_log_gain_Q7,
-             pred_gain_db_q7) = quant_ltp_gains(
-                XX, xX, self.subfr_length, self.nb_subfr,
-                self.sum_log_gain_Q7)
+            # Injectable LTP-VQ backend (batched device lane seam)
+            ltp_hook = getattr(self, "ltp_hook", None)
+            if ltp_hook is not None:
+                (B_q14, ltp_idx, per_idx, self.sum_log_gain_Q7,
+                 pred_gain_db_q7) = ltp_hook(self, XX, xX)
+            else:
+                (B_q14, ltp_idx, per_idx, self.sum_log_gain_Q7,
+                 pred_gain_db_q7) = quant_ltp_gains(
+                    XX, xX, self.subfr_length, self.nb_subfr,
+                    self.sum_log_gain_Q7)
             ctrl.LTPredCodGain = pred_gain_db_q7 / 128.0
             ctrl.LTPCoef = np.array(B_q14) / 16384.0
             self.indices.LTPIndex = ltp_idx

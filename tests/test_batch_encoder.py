@@ -104,7 +104,7 @@ def test_plan_bytes_equal_scalar(lm, bitrate):
     with enable_x64():
         rng = np.random.default_rng(2000 + bitrate)
         Bn = 4 if (HEAVY or lm < 3) else 2
-        n_frames = 3 if (HEAVY or lm < 3) else 2
+        n_frames = 3 if (HEAVY or lm < 3) else 1
         nbytes = be.cbr_bytes(bitrate, n, 48000, 1275)
 
         encs = []
@@ -234,7 +234,7 @@ def test_float32_lane_quality():
     bitrate = 64000
     nbytes = be.cbr_bytes(bitrate, n, 48000, 1275)
     Bn = 2
-    n_frames = 3
+    n_frames = 2
     rng = np.random.default_rng(42)
     t = np.arange(n) / 48000.0
 

@@ -40,7 +40,7 @@ def test_mixed_mode_bucketed_batch():
     ]
     B = len(configs)
     rng = np.random.default_rng(3)
-    n_frames = 3
+    n_frames = 2
     t = np.arange(N * n_frames) / 48000.0
     pcm = np.stack([
         0.4 * np.sin(2 * np.pi * (200 + 90 * b) * t)
