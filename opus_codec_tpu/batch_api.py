@@ -357,3 +357,58 @@ class OpusBatchEncoder:
             for j, b in enumerate(idx):
                 out[b] = pkts[j]
         return out
+
+
+class OpusBatchDecoder:
+    """Mixed-mode batched decoder: B streams routed by TOC to
+    per-bucket device lanes (the decode-side mirror of
+    ``OpusBatchEncoder``).
+
+    configs: one dict per stream:
+      {"mode": "celt", "frame_size": int}   -> CeltBatchDecoder lane
+      {"mode": "silk", "fs_khz": int, "payload_ms": int}
+                                            -> SilkBatchDecoder lane
+                                               (bit-exact, 48 kHz out)
+    decode(packets) -> pcm [B, frame_size] float32 in stream order.
+    Packets carry their TOC byte (regular Opus packets).
+    """
+
+    def __init__(self, configs, sample_rate: int = 48000,
+                 frame_size: int = 960):
+        from .parallel.pipeline import bucket_by
+        from .silk.batch_decoder import SilkBatchDecoder
+        self.configs = list(configs)
+        self.batch = len(self.configs)
+        self.frame_size = frame_size
+
+        def key_of(c):
+            if c["mode"] == "celt":
+                return ("celt", int(c.get("frame_size", frame_size)))
+            return ("silk", int(c.get("fs_khz", 16)),
+                    int(c.get("payload_ms", 20)))
+
+        self.buckets = bucket_by([key_of(c) for c in self.configs])
+        self.lanes = {}
+        for key, idx in self.buckets.items():
+            if key[0] == "celt":
+                self.lanes[key] = CeltBatchDecoder(
+                    len(idx), frame_size=key[1],
+                    sample_rate=sample_rate)
+            else:
+                self.lanes[key] = SilkBatchDecoder(
+                    len(idx), fs_khz=key[1], payload_ms=key[2])
+
+    def decode(self, packets: List[bytes]) -> np.ndarray:
+        out = np.zeros((self.batch, self.frame_size), np.float32)
+        for key, idx in self.buckets.items():
+            lane = self.lanes[key]
+            subs = [packets[i] for i in idx]
+            if key[0] == "celt":
+                # strip the TOC byte: the CELT lane parses raw frames
+                pcm = lane.decode([p[1:] for p in subs])
+                out[idx, :pcm.shape[1]] = pcm[:, :self.frame_size]
+            else:
+                pcm = lane.decode_48k([p[1:] for p in subs])
+                n = min(pcm.shape[1], self.frame_size)
+                out[idx, :n] = pcm[:, :n].astype(np.float32) / 32768.0
+        return out
