@@ -248,7 +248,24 @@ class CeltBatchDecoder:
 
     def parse(self, packets: List[bytes]):
         """Host half: dry symbol parse of B CELT frames.  ``packets``
-        are raw CELT frames (no TOC byte)."""
+        are raw CELT frames (no TOC byte).  Uses the native OpenMP
+        lane (runtime/dec_lane.c) when a C toolchain is present; falls
+        back to the per-stream Python parser."""
+        from .runtime.parse import dec_parse_batch
+        native = dec_parse_batch(packets, self.lm, list(self.seeds))
+        if native is not None and not np.any(native["error"]):
+            if self.strict and (np.any(native["transient"])
+                                or np.any(native["tf_res"] != 0)):
+                raise OpusError.bad_arg(
+                    "frame outside the batched decoder's supported "
+                    "space (transient/tf); use strict=False")
+            self.seeds = [int(r) for r in native["final_range"]]
+            self.final_ranges = native["final_range"].astype(np.uint64)
+            # match stack_syms' exact key set (the jitted decoder's
+            # input pytree)
+            for extra in ("error", "dual_stereo", "intensity"):
+                native.pop(extra)
+            return {k: self._jnp.asarray(v) for k, v in native.items()}
         syms_list = []
         for b, pkt in enumerate(packets):
             s = self._dp.parse_frame(pkt, self.lm, seed=self.seeds[b])
