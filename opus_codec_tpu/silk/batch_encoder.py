@@ -40,7 +40,7 @@ __all__ = ["NsqBatchBackend", "SilkBatchEncoder"]
 
 class _NsqCall:
     __slots__ = ("rec", "nsq_state", "indices", "key", "done",
-                 "pulses", "result")
+                 "pulses", "result", "exc")
 
     def __init__(self, rec, nsq_state, indices, key):
         self.rec = rec
@@ -50,6 +50,7 @@ class _NsqCall:
         self.done = False
         self.pulses = None
         self.result = None
+        self.exc = None
 
 
 def _build_record(ch, nsq_state, indices, x16, Pred_Q12, LTP_Q14,
@@ -115,6 +116,8 @@ class NsqBatchBackend:
                 self.cond.wait()
             self.blocked -= 1
             self.cond.notify_all()
+        if call.exc is not None:
+            raise call.exc
         return call.pulses
 
     def nlsf(self, ch, nlsf_q15, w_qw, mu_q20):
@@ -137,6 +140,8 @@ class NsqBatchBackend:
                 self.cond.wait()
             self.blocked -= 1
             self.cond.notify_all()
+        if call.exc is not None:
+            raise call.exc
         return call.result
 
     def ltp(self, ch, XX, xX):
@@ -159,6 +164,8 @@ class NsqBatchBackend:
                 self.cond.wait()
             self.blocked -= 1
             self.cond.notify_all()
+        if call.exc is not None:
+            raise call.exc
         return call.result
 
     # ---- orchestrator side
@@ -173,7 +180,14 @@ class NsqBatchBackend:
                 if self.pending:
                     calls = self.pending
                     self.pending = []
-                    self._execute(calls)
+                    try:
+                        self._execute(calls)
+                    except BaseException as e:
+                        # release the blocked workers with the error —
+                        # never leave them parked (encode() would hang
+                        # on join otherwise)
+                        for c in calls:
+                            c.exc = e
                     for c in calls:
                         c.done = True
                     self.cond.notify_all()
