@@ -56,3 +56,36 @@ def test_silk_batch_encoder_byte_parity(complexity):
     for b in range(B):
         for f in range(n_frames):
             assert got[b][f] == want[b][f], (b, f)
+
+
+def test_silk_batch_encoder_fec_vbr_parity():
+    """LBRR (in-band FEC) adds a second NSQ call per frame and VBR
+    drives the rate loop through repeated quantizer calls — all of it
+    flows through the same barrier and must stay byte-identical."""
+    from opus_codec_tpu.api import Encoder
+    from opus_codec_tpu.types import (Application, Bandwidth, Bitrate,
+                                      Signal)
+    B, N, n_frames = 2, 960, 5
+    pcm = np.stack([_speech(N * n_frames, seed=21 + b, f0=130 + 25 * b)
+                    for b in range(B)])
+
+    enc = SilkBatchEncoder(B, bitrate=24000, complexity=9, vbr=True,
+                           fec=True, packet_loss=20)
+    got = [[] for _ in range(B)]
+    for f in range(n_frames):
+        pkts = enc.encode(pcm[:, f * N:(f + 1) * N])
+        for b in range(B):
+            got[b].append(pkts[b])
+
+    for b in range(B):
+        e = Encoder(48000, 1, Application.VOIP)
+        e.set_bitrate(Bitrate(24000))
+        e.set_signal(Signal.VOICE)
+        e.set_max_bandwidth(Bandwidth.WIDEBAND)
+        e.set_complexity(9)
+        e.set_vbr(True)
+        e.set_inband_fec(True)
+        e.set_packet_loss_perc(20)
+        for f in range(n_frames):
+            want = e.encode_float(pcm[b, f * N:(f + 1) * N])
+            assert got[b][f] == want, (b, f)
