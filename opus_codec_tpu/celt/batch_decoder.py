@@ -179,11 +179,14 @@ def _rotation1_bwd(X, c, s, st: int):
     return res[:, :L]
 
 
-def exp_rotation_dec(X, K, spread, N: int):
-    """Inverse (decode-side) exp_rotation for blocks == 1 (vq.c:74-117,
-    direction < 0).  X: [B, N]; K, spread: [B].  Masked identity where
-    the rotation does not apply (2K >= N or spread == none)."""
+def exp_rotation_dec(X, K, spread, N: int, blocks: int = 1):
+    """Inverse (decode-side) exp_rotation (vq.c:74-117, direction < 0)
+    for a static block count.  X: [B, N]; K, spread: [B].  The gain and
+    the 2K >= N gate use the FULL length; the rotation sweeps run per
+    contiguous length-N/blocks block (vq.c:103-116 after the udiv).
+    Masked identity where the rotation does not apply."""
     dt = X.dtype
+    Bs = X.shape[0]
     SPREAD_FACTOR = np.array([0, 15, 10, 5], np.int32)   # [none, l, n, a]
     factor = jnp.asarray(SPREAD_FACTOR)[jnp.clip(spread, 0, 3)]
     Kf = jnp.maximum(K, 1).astype(dt)
@@ -191,13 +194,32 @@ def exp_rotation_dec(X, K, spread, N: int):
     theta = 0.5 * gain * gain
     c = jnp.cos(0.5 * jnp.pi * theta).astype(dt)
     s = jnp.cos(0.5 * jnp.pi * (1.0 - theta)).astype(dt)
-    st2 = _stride2_of(N, 1)
-    Y = X
+    st2 = _stride2_of(N, blocks)
+    L = N // blocks
+    Y = X.reshape(Bs * blocks, L) if blocks > 1 else X
+    cb = jnp.repeat(c, blocks) if blocks > 1 else c
+    sb = jnp.repeat(s, blocks) if blocks > 1 else s
     if st2:
-        Y = _rotation1_bwd(_rotation1_fwd(Y, s, c, st2), s, c, st2)
-    Y = _rotation1_bwd(_rotation1_fwd(Y, c, s, 1), c, s, 1)
+        Y = _rotation1_bwd(_rotation1_fwd(Y, sb, cb, st2), sb, cb, st2)
+    Y = _rotation1_bwd(_rotation1_fwd(Y, cb, sb, 1), cb, sb, 1)
+    if blocks > 1:
+        Y = Y.reshape(Bs, N)
     apply = (2 * K < N) & (spread != SPREAD_NONE)
     return jnp.where(apply[:, None], Y, X)
+
+
+def exp_rotation_dec_multi(X, K, spread, N: int, node_B):
+    """exp_rotation_dec with a per-row runtime block count.
+
+    node_B: [B] in {1, 2, 4, 8, ...} (the node's block count after the
+    partition's (B+1)>>1 halvings).  Computes each static variant that
+    divides N and selects per row."""
+    cands = [bb for bb in (1, 2, 4, 8) if N % bb == 0 and bb <= N]
+    out = exp_rotation_dec(X, K, spread, N, 1)
+    for bb in cands[1:]:
+        out = jnp.where((node_B == bb)[:, None],
+                        exp_rotation_dec(X, K, spread, N, bb), out)
+    return out
 
 
 def cwrsi_batch(index, K, N: int, u_tab: np.ndarray):
@@ -225,6 +247,132 @@ def cwrsi_batch(index, K, N: int, u_tab: np.ndarray):
         val = (k0 - k).astype(_i32)
         ys.append(jnp.where(sgn, -val, val))
     return jnp.stack(ys, axis=1)
+
+
+# ---------------------------------------------------------------------------
+# Per-band shape-transform combos (bands.c:746-811): the recombine /
+# time-divide haar cascades and the hadamard (de)interleave are LINEAR
+# maps on the band segment, so each feasible (transient, recombine,
+# time_divide) combo becomes a pair of static [N, N] matrices — the
+# decode-entry transform of the folding lowband and the resynth-side
+# inverse applied to the decoded shape.  Per stream the right combo is
+# a one-hot select; combo (False, 0, 0) is the identity fast path.
+
+def _apply_ops(vec, ops):
+    from .bands import (_deinterleave_hadamard, _interleave_hadamard,
+                        haar1)
+    X = list(vec)
+    for op in ops:
+        if op[0] == "haar":
+            haar1(X, 0, op[1], op[2])
+        elif op[0] == "deint":
+            _deinterleave_hadamard(X, 0, op[1], op[2], op[3])
+        else:
+            _interleave_hadamard(X, 0, op[1], op[2], op[3])
+    return X
+
+
+def _combo_ops(N: int, B0f: int, tf_change: int):
+    """(fwd_ops, inv_ops, B2) for one band entry (mirrors
+    bands._quant_band:746-804 with encode=False, resynth=True)."""
+    long_blocks = B0f == 1
+    N_B = N // B0f
+    B = B0f
+    recombine = tf_change if tf_change > 0 else 0
+    fwd = []
+    for k in range(recombine):
+        fwd.append(("haar", N >> k, 1 << k))
+    B >>= recombine
+    N_B <<= recombine
+    tfc = tf_change
+    time_divide = 0
+    while (N_B & 1) == 0 and tfc < 0:
+        fwd.append(("haar", N_B, B))
+        B <<= 1
+        N_B >>= 1
+        time_divide += 1
+        tfc += 1
+    B0q = B
+    N_B0 = N_B
+    if B0q > 1:
+        fwd.append(("deint", N_B >> recombine, B0q << recombine,
+                    long_blocks))
+    inv = []
+    if B0q > 1:
+        inv.append(("int", N_B0 >> recombine, B0q << recombine,
+                    long_blocks))
+    Bq, N_Bq = B0q, N_B0
+    for _ in range(time_divide):
+        Bq >>= 1
+        N_Bq <<= 1
+        inv.append(("haar", N_Bq, Bq))
+    for k in range(recombine):
+        inv.append(("haar", N >> k, 1 << k))
+    return fwd, inv, B0q, recombine, time_divide
+
+
+@lru_cache(maxsize=None)
+def _band_combos(lm: int):
+    """Per band width class: list of
+    (transient, recombine, time_divide, B2) combos with stacked
+    Mfwd/Minv [n_combos, N, N] float32 (identity combos flagged)."""
+    from .modes import TF_SELECT_TABLE, standard_mode
+    m = standard_mode()
+    M = 1 << lm
+    tf_vals = sorted(set(TF_SELECT_TABLE[lm]))
+    out = {}
+    for i in range(m.nb_ebands):
+        N = (int(m.e_bands[i + 1] - m.e_bands[i])) << lm
+        if N < 2 or N in out:
+            continue
+        combos = []
+        seen = set()
+        for transient in (False, True):
+            B0f = M if transient else 1
+            if B0f > N:
+                continue
+            for tf in tf_vals:
+                fwd, inv, B2, r, td = _combo_ops(N, B0f, tf)
+                key = (transient, r, td)
+                if key in seen:
+                    continue
+                seen.add(key)
+                combos.append((key, fwd, inv, B2))
+        nC = len(combos)
+        Mf = np.zeros((nC, N, N), np.float32)
+        Mi = np.zeros((nC, N, N), np.float32)
+        keys = []
+        idents = []
+        for ci, (key, fwd, inv, B2) in enumerate(combos):
+            for j in range(N):
+                e = [0.0] * N
+                e[j] = 1.0
+                Mf[ci, j] = _apply_ops(e, fwd)
+                Mi[ci, j] = _apply_ops(e, inv)
+            keys.append(key + (B2,))
+            idents.append(not fwd and not inv)
+        out[N] = (keys, idents, Mf, Mi)
+    return out
+
+
+def _band_transform(seg, transient, recombine, time_divide, combos,
+                    forward: bool):
+    """Apply the per-stream combo transform to a band segment
+    [B, N] (one matmul per non-identity combo + one-hot select)."""
+    keys, idents, Mf, Mi = combos
+    out = seg
+    any_match = jnp.zeros(seg.shape[:1], bool)
+    for ci, (t, r, td, _B2) in enumerate(keys):
+        sel = ((transient == t) & (recombine == r)
+               & (time_divide == td))
+        any_match = any_match | sel
+        if idents[ci]:
+            continue
+        mat = jnp.asarray((Mf if forward else Mi)[ci])
+        y = jnp.matmul(seg, mat,
+                       preferred_element_type=jnp.float32)
+        out = jnp.where(sel[:, None], y.astype(seg.dtype), out)
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -309,6 +457,13 @@ def synth_all_bands(syms, lm: int, start: int = 0, end: int = 21,
     node_base = tab.node_off + np.asarray(
         [M * int(e_bands[tab.node_band[j]]) for j in range(tab.n_nodes)],
         np.int32)
+    # per-node block count: the partition halves B as (B+1)>>1 per
+    # split, i.e. max(1, band_B >> depth) for power-of-two band_B
+    node_B_all = jnp.maximum(
+        1, syms["band_B"][:, np.asarray(tab.node_band)]
+        >> jnp.asarray(tab.node_depth, jnp.int32)[None, :])
+    combos_all = _band_combos(lm)
+    transient = syms["transient"]
 
     # ---- all PVQ leaves, one batch per distinct width
     X = jnp.zeros((B, N_total), dt)
@@ -323,7 +478,8 @@ def synth_all_bands(syms, lm: int, start: int = 0, end: int = 21,
         Xp = iy.astype(dt) * g[:, None]
         spread = jnp.broadcast_to(syms["spread"][:, None],
                                   (B, nW)).reshape(B * nW)
-        Xp = exp_rotation_dec(Xp, K, spread, W)
+        nodeB = node_B_all[:, ids].reshape(B * nW)
+        Xp = exp_rotation_dec_multi(Xp, K, spread, W, nodeB)
         sel = (kind[:, ids] == NODE_PVQ)
         vals = jnp.where(sel.reshape(B * nW)[:, None], Xp, 0.0)
         cols = (node_base[ids][:, None]
@@ -347,6 +503,16 @@ def synth_all_bands(syms, lm: int, start: int = 0, end: int = 21,
         eff = syms["band_eff_lowband"][:, i]
         has_lb = eff >= 0
         effc = jnp.clip(eff, 0)
+        rec_i = syms["band_recombine"][:, i]
+        td_i = syms["band_time_divide"][:, i]
+        combos = combos_all[N]
+        # the full folding segment, decode-entry transforms applied
+        # once per band (bands.c:756-785: the lowband copy sees the
+        # same haar/deinterleave cascade as the shape would)
+        cols = effc[:, None] + np.arange(N)[None, :]
+        lb_seg = jnp.take_along_axis(norm, cols, axis=1)
+        lb_seg = _band_transform(lb_seg, transient, rec_i, td_i,
+                                 combos, forward=True)
         # zero/fold leaves of this band, grouped by width
         band_ids = np.asarray(
             [j for j in range(int(tab.band_first[i]),
@@ -369,10 +535,8 @@ def synth_all_bands(syms, lm: int, start: int = 0, end: int = 21,
                              jnp.asarray(1.0 / 256, dt),
                              jnp.asarray(-1.0 / 256, dt))
             offs = np.asarray(tab.node_off[ids], np.int32)
-            cols = (effc[:, None, None] + offs[None, :, None]
-                    + np.arange(W)[None, None, :])
-            lb = jnp.take_along_axis(
-                norm, cols.reshape(B, -1), axis=1).reshape(B, nW, W)
+            lcols = (offs[:, None] + np.arange(W)[None, :]).ravel()
+            lb = lb_seg[:, lcols].reshape(B, nW, W)   # static slices
             fold = lb + sign
             base = jnp.where(has_lb[:, None, None], fold, noise)
             e = EPSILON + jnp.sum(base * base, axis=2)
@@ -384,9 +548,67 @@ def synth_all_bands(syms, lm: int, start: int = 0, end: int = 21,
             ccols = (node_base[ids][:, None]
                      + np.arange(W)[None, :]).ravel()
             X = X.at[:, ccols].add(vals.reshape(B, -1))
+        # resynth-side inverse transforms on the finished band shape
+        # (bands.c:790-804)
+        seg = _band_transform(X[:, xlo:xlo + N], transient, rec_i,
+                              td_i, combos, forward=False)
+        X = X.at[:, xlo:xlo + N].set(seg)
         if not last:
             sq = jnp.asarray(float(np.sqrt(N)), dt)
             norm = norm.at[:, xlo:xlo + N].set(sq * X[:, xlo:xlo + N])
+    return X
+
+
+def anti_collapse_batch(X, collapse_masks, pulses_q3, lm: int, logE,
+                        prev1, prev2, seed0, active):
+    """bands.c:268-337 (float, mono), batched.
+
+    Collapsed short-block lanes of transient frames get +-r noise at an
+    energy derived from the two previous frames, then the band is
+    renormalised.  ``active``: [B] anti_collapse_on; the LCG chain
+    advances N0 draws per collapsed block exactly like the scalar
+    (seed0 = the post-band-walk rng, celt_decoder.c:1291)."""
+    m = standard_mode()
+    dt = X.dtype
+    B = X.shape[0]
+    seed = seed0.astype(_u32)
+    nblk = 1 << lm
+    for i in range(m.nb_ebands):
+        N0 = int(m.e_bands[i + 1] - m.e_bands[i])
+        depth = ((1 + pulses_q3[:, i]) // N0) >> lm
+        thresh = 0.5 * jnp.exp2(-0.125 * depth.astype(dt))
+        sqrt_1 = float(1.0 / np.sqrt(N0 << lm))
+        p1 = jnp.maximum(prev1[:, i], jnp.asarray(-28.0, dt))
+        p2 = jnp.maximum(prev2[:, i], jnp.asarray(-28.0, dt))
+        Ediff = jnp.maximum(jnp.asarray(0.0, dt),
+                            logE[:, i] - jnp.minimum(p1, p2))
+        r = 2.0 * jnp.exp2(-Ediff)
+        if lm == 3:
+            r = r * 1.41421356
+        r = jnp.minimum(thresh, r) * sqrt_1
+        base = int(m.e_bands[i]) << lm
+        renorm = jnp.zeros((B,), bool)
+        A_j, C_j = _lcg_jump(N0)
+        jump_a = np.uint32(A_j[-1])
+        jump_c = np.uint32(C_j[-1])
+        for k in range(nblk):
+            collapsed = active & (jnp.bitwise_and(
+                collapse_masks[:, i] >> k, 1) == 0)
+            draws = _lcg_seeds(seed, N0)             # [B, N0]
+            vals = jnp.where((draws & np.uint32(0x8000)) != 0,
+                             r[:, None], -r[:, None]).astype(dt)
+            idxs = base + (np.arange(N0) << lm) + k  # static cols
+            X = X.at[:, idxs].set(
+                jnp.where(collapsed[:, None], vals, X[:, idxs]))
+            seed = jnp.where(collapsed, jump_a * seed + jump_c, seed)
+            renorm = renorm | collapsed
+        segcols = base + np.arange(N0 << lm)
+        seg = X[:, segcols]
+        g = 1.0 / jnp.sqrt(EPSILON
+                           + jnp.sum(seg * seg, axis=1))
+        X = X.at[:, segcols].set(
+            jnp.where(renorm[:, None], seg * g[:, None].astype(dt),
+                      seg))
     return X
 
 
@@ -480,6 +702,15 @@ def celt_decode_batch(syms, st: CeltDecState, lm: int,
     oldBandE = unquant_finalise_batch(oldBandE, syms["finalise"],
                                       syms["fine_bits"], start, end)
 
+    transient = syms["transient"]
+    if lm >= 2:
+        # anti-collapse noise injection for transient frames
+        # (celt_decoder.c:1285-1291)
+        X = anti_collapse_batch(
+            X, syms["collapse_masks"], syms["pulses"], lm, oldBandE,
+            st.oldLogE, st.oldLogE2, syms["seed_after_bands"],
+            syms["anti_collapse_on"] & transient)
+
     silence = syms["silence"]
     oldBandE = jnp.where(silence[:, None], jnp.asarray(-28.0, dt),
                          oldBandE)
@@ -487,9 +718,12 @@ def celt_decode_batch(syms, st: CeltDecState, lm: int,
     freq = denormalise_batch(X, oldBandE, lm)
     freq = jnp.where(silence[:, None], 0.0, freq)
     frame, tail = imdct_batch(freq, st.syn_tail, 1)
+    if lm > 0:
+        # short-block IMDCT for transient streams, selected per row
+        frame_s, tail_s = imdct_batch(freq, st.syn_tail, M)
+        frame = jnp.where(transient[:, None], frame_s, frame)
+        tail = jnp.where(transient[:, None], tail_s, tail)
     pcm, memD = deemphasis_batch(frame, st.preemph_memD)
-
-    transient = syms["transient"]
     oldLogE2 = jnp.where(transient[:, None], st.oldLogE2, st.oldLogE)
     oldLogE = jnp.where(transient[:, None],
                         jnp.minimum(st.oldLogE, oldBandE), oldBandE)
