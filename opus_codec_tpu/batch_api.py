@@ -217,9 +217,9 @@ class CeltBatchDecoder:
 
     decode(packets: list[bytes]) -> pcm [B, N] float.
 
-    Scope: mono streams including transient/short-block frames,
-    tf haar cascades and anti-collapse; only the comb postfilter is
-    unsupported (``strict=True`` rejects pf-coded frames).
+    Scope: mono streams including transient/short-block frames, tf
+    haar cascades, anti-collapse and the comb postfilter (``strict``
+    is retained for API compatibility; nothing is rejected).
     """
 
     def __init__(self, batch: int, frame_size: int = 960,
@@ -252,10 +252,6 @@ class CeltBatchDecoder:
         from .runtime.parse import dec_parse_batch
         native = dec_parse_batch(packets, self.lm, list(self.seeds))
         if native is not None and not np.any(native["error"]):
-            if self.strict and np.any(native["pf_qg"] >= 0):
-                raise OpusError.bad_arg(
-                    "frame outside the batched decoder's supported "
-                    "space (postfilter); use strict=False")
             self.seeds = [int(r) for r in native["final_range"]]
             self.final_ranges = native["final_range"].astype(np.uint64)
             # match stack_syms' exact key set (the jitted decoder's
@@ -266,10 +262,6 @@ class CeltBatchDecoder:
         syms_list = []
         for b, pkt in enumerate(packets):
             s = self._dp.parse_frame(pkt, self.lm, seed=self.seeds[b])
-            if self.strict and s.pf_qg >= 0:
-                raise OpusError.bad_arg(
-                    "frame outside the batched decoder's supported "
-                    "space (postfilter); use strict=False")
             self.seeds[b] = s.final_range
             self.final_ranges[b] = s.final_range
             syms_list.append(s)

@@ -659,6 +659,112 @@ def unquant_finalise_batch(oldBandE, finalise, fine_bits, start: int,
 
 
 # ---------------------------------------------------------------------------
+# Comb postfilter (celt.c:198-260 + celt_decoder.c:1302-1325)
+#
+# The decoder postfilter is an in-place IIR on the synthesis buffer
+# with lag T >= COMBFILTER_MINPERIOD == 15, so 13-sample blocks only
+# ever read committed samples — the batch processes the frame as a
+# static sequence of blocks, each one gathering its two per-stream tap
+# windows and blending them with the crossfade window.
+
+COMBFILTER_MINPERIOD = 15
+COMBFILTER_MAXPERIOD = 1024
+_PF_HIST = COMBFILTER_MAXPERIOD + 2
+_PF_BLK = COMBFILTER_MINPERIOD - 2
+
+
+def _comb_segment(buf, seg_start: int, Nseg: int, T0, T1, g0, g1,
+                  tap0, tap1, fade):
+    """Filter buf[:, seg_start:seg_start+Nseg] in place (functional).
+
+    T0/T1/g0/g1/tap0/tap1: [B]; fade: [Nseg] static crossfade factor
+    (window^2 for the first `overlap` samples, 1 beyond — with f==1
+    the T0 terms vanish, so one blended formula covers both the
+    crossfade and the constant tail)."""
+    from .decoder import _COMB_GAINS
+    dt = buf.dtype
+    gtab = np.asarray(_COMB_GAINS, np.float64)     # [3, 3]
+    gt = jnp.asarray(gtab, dt)
+    t0 = jnp.clip(tap0, 0, 2)
+    t1 = jnp.clip(tap1, 0, 2)
+    g00 = g0 * gt[t0, 0]
+    g01 = g0 * gt[t0, 1]
+    g02 = g0 * gt[t0, 2]
+    g10 = g1 * gt[t1, 0]
+    g11 = g1 * gt[t1, 1]
+    g12 = g1 * gt[t1, 2]
+    T0c = jnp.maximum(T0, COMBFILTER_MINPERIOD)
+    T1c = jnp.maximum(T1, COMBFILTER_MINPERIOD)
+    pos = 0
+    while pos < Nseg:
+        blk = min(_PF_BLK, Nseg - pos)
+        a = seg_start + pos
+        x_blk = jax.lax.dynamic_slice_in_dim(buf, a, blk, axis=1)
+        # tap windows: columns [a - T - 2, a - T + blk + 1]
+        w0s = (a - 2) - T0c
+        w1s = (a - 2) - T1c
+        cols = jnp.arange(blk + 4)[None, :]
+        w0 = jnp.take_along_axis(buf, w0s[:, None] + cols, axis=1)
+        w1 = jnp.take_along_axis(buf, w1s[:, None] + cols, axis=1)
+        f = jnp.asarray(fade[pos:pos + blk], dt)[None, :]
+        y = (x_blk
+             + (1 - f) * (g00[:, None] * w0[:, 2:2 + blk]
+                          + g01[:, None] * (w0[:, 3:3 + blk]
+                                            + w0[:, 1:1 + blk])
+                          + g02[:, None] * (w0[:, 4:4 + blk]
+                                            + w0[:, 0:blk]))
+             + f * (g10[:, None] * w1[:, 2:2 + blk]
+                    + g11[:, None] * (w1[:, 3:3 + blk]
+                                      + w1[:, 1:1 + blk])
+                    + g12[:, None] * (w1[:, 4:4 + blk]
+                                      + w1[:, 0:blk])))
+        buf = jax.lax.dynamic_update_slice(buf, y.astype(dt),
+                                           (jnp.int32(0), jnp.int32(a)))
+        pos += blk
+    return buf
+
+
+def postfilter_batch(frame, st, pf_pitch, pf_gain, pf_tapset, lm: int):
+    """celt_decoder.c:1302-1325 for a [B, N] frame; returns
+    (filtered frame, new pf state tuple)."""
+    m = standard_mode()
+    dt = frame.dtype
+    B, N = frame.shape
+    nshort = m.short_mdct_size
+    ov = m.overlap
+    win2 = np.asarray(m.window, np.float64) ** 2
+
+    buf = jnp.concatenate([st.pf_hist.astype(dt), frame], axis=1)
+    base = _PF_HIST
+
+    def fade_vec(nseg):
+        f = np.ones(nseg)
+        f[:min(ov, nseg)] = win2[:min(ov, nseg)]
+        return f
+
+    buf = _comb_segment(buf, base, nshort, st.pf_period_old,
+                        st.pf_period, st.pf_gain_old, st.pf_gain,
+                        st.pf_tapset_old, st.pf_tapset,
+                        fade_vec(nshort))
+    if lm != 0:
+        buf = _comb_segment(buf, base + nshort, N - nshort,
+                            st.pf_period, pf_pitch, st.pf_gain,
+                            pf_gain, st.pf_tapset, pf_tapset,
+                            fade_vec(N - nshort))
+
+    out = buf[:, base:]
+    hist = buf[:, base + N - _PF_HIST:base + N] if N >= _PF_HIST \
+        else jnp.concatenate([buf[:, N:_PF_HIST], out], axis=1)
+    if lm != 0:
+        new = (pf_pitch, pf_gain, pf_tapset,
+               pf_pitch, pf_gain, pf_tapset)
+    else:
+        new = (pf_pitch, pf_gain, pf_tapset,
+               st.pf_period, st.pf_gain, st.pf_tapset)
+    return out, hist, new
+
+
+# ---------------------------------------------------------------------------
 # Frame-level batched decode
 
 class CeltDecState(NamedTuple):
@@ -669,16 +775,28 @@ class CeltDecState(NamedTuple):
     backgroundLogE: jnp.ndarray
     preemph_memD: jnp.ndarray   # [B]
     syn_tail: jnp.ndarray       # [B, overlap//2]
+    pf_period: jnp.ndarray      # [B] postfilter state
+    pf_gain: jnp.ndarray
+    pf_tapset: jnp.ndarray
+    pf_period_old: jnp.ndarray
+    pf_gain_old: jnp.ndarray
+    pf_tapset_old: jnp.ndarray
+    pf_hist: jnp.ndarray        # [B, COMBFILTER_MAXPERIOD + 2]
 
 
 def init_dec_state(B: int, nb: int = 21, dtype=jnp.float32
                    ) -> CeltDecState:
     z = jnp.zeros((B, nb), dtype)
+    zi = jnp.zeros((B,), jnp.int32)
     return CeltDecState(
         oldBandE=z, oldLogE=z - 28.0, oldLogE2=z - 28.0,
         backgroundLogE=z - 28.0,
         preemph_memD=jnp.zeros((B,), dtype),
-        syn_tail=jnp.zeros((B, standard_mode().overlap // 2), dtype))
+        syn_tail=jnp.zeros((B, standard_mode().overlap // 2), dtype),
+        pf_period=zi, pf_gain=jnp.zeros((B,), dtype), pf_tapset=zi,
+        pf_period_old=zi, pf_gain_old=jnp.zeros((B,), dtype),
+        pf_tapset_old=zi,
+        pf_hist=jnp.zeros((B, _PF_HIST), dtype))
 
 
 def celt_decode_batch(syms, st: CeltDecState, lm: int,
@@ -723,6 +841,15 @@ def celt_decode_batch(syms, st: CeltDecState, lm: int,
         frame_s, tail_s = imdct_batch(freq, st.syn_tail, M)
         frame = jnp.where(transient[:, None], frame_s, frame)
         tail = jnp.where(transient[:, None], tail_s, tail)
+
+    # comb postfilter (celt_decoder.c:1302-1325): per-stream pitch /
+    # gain / tapset from the parse, crossfaded against last frame's
+    pf_gain = jnp.where(syms["pf_qg"] >= 0,
+                        0.09375 * (syms["pf_qg"].astype(dt) + 1.0),
+                        jnp.asarray(0.0, dt))
+    frame, pf_hist, pf_new = postfilter_batch(
+        frame, st, syms["pf_pitch"], pf_gain, syms["pf_tapset"], lm)
+
     pcm, memD = deemphasis_batch(frame, st.preemph_memD)
     oldLogE2 = jnp.where(transient[:, None], st.oldLogE2, st.oldLogE)
     oldLogE = jnp.where(transient[:, None],
@@ -732,7 +859,11 @@ def celt_decode_batch(syms, st: CeltDecState, lm: int,
 
     new_st = CeltDecState(
         oldBandE=oldBandE, oldLogE=oldLogE, oldLogE2=oldLogE2,
-        backgroundLogE=backgroundLogE, preemph_memD=memD, syn_tail=tail)
+        backgroundLogE=backgroundLogE, preemph_memD=memD,
+        syn_tail=tail,
+        pf_period=pf_new[0], pf_gain=pf_new[1], pf_tapset=pf_new[2],
+        pf_period_old=pf_new[3], pf_gain_old=pf_new[4],
+        pf_tapset_old=pf_new[5], pf_hist=pf_hist)
     return pcm, new_st
 
 

@@ -72,3 +72,57 @@ def test_batched_decode_transient_streams(lm, bitrate):
             ref_rms = np.sqrt(np.mean(want ** 2)) + 1e-9
             err = np.sqrt(np.mean((got - want) ** 2))
             assert err < 2e-3 * ref_rms + 1e-5, (b, fi, err, ref_rms)
+
+
+def test_batched_decode_postfilter_streams():
+    """Streams with the comb postfilter coded (pitchy signal, pf
+    enabled): the batched decoder's blockwise comb filter must track
+    the scalar decoder."""
+    from opus_codec_tpu.batch_api import CeltBatchDecoder
+    from opus_codec_tpu.celt.dec_parse import parse_frame
+
+    lm, bitrate = 3, 64000
+    n = M.short_mdct_size << lm
+    nbytes = max(bitrate * n // (8 * 48000), 16)
+    rng = np.random.default_rng(3)
+    t = np.arange(n) / 48000.0
+    streams = []
+    for s in range(2):
+        e = CeltEncoder(48000, 1)
+        e.complexity = 8
+        e.vbr = False
+        e.bitrate = bitrate
+        e.disable_pf = False
+        frames = []
+        for fi in range(6):
+            f0 = 110 + 30 * s            # strongly periodic -> pf on
+            pcm = (0.55 * np.sin(2 * np.pi * f0 * (t + fi * n / 48000.0))
+                   + 0.2 * np.sin(2 * np.pi * 2 * f0
+                                  * (t + fi * n / 48000.0))
+                   + 0.01 * rng.standard_normal(n))
+            frames.append(e.encode_with_ec(pcm[None, :], n, nbytes))
+        streams.append(frames)
+
+    # confirm the fixture codes the postfilter at least once
+    seed = 0
+    any_pf = False
+    for f in streams[0]:
+        sy = parse_frame(f, lm, seed=seed)
+        any_pf |= sy.pf_qg >= 0
+        seed = sy.final_range
+    assert any_pf, "fixture coded no postfilter frames"
+
+    Bn = len(streams)
+    dec = CeltBatchDecoder(Bn, frame_size=n)
+    refs = [CeltDecoder(48000, 1) for _ in range(Bn)]
+    for fi in range(6):
+        pkts = [streams[b][fi] for b in range(Bn)]
+        out = dec.decode(pkts)
+        for b in range(Bn):
+            want = np.asarray(
+                refs[b].decode_with_ec(pkts[b], n)).reshape(-1)[:n]
+            got = np.asarray(out[b]).reshape(-1)[:n]
+            assert int(dec.final_ranges[b]) == refs[b].rng, (b, fi)
+            ref_rms = np.sqrt(np.mean(want ** 2)) + 1e-9
+            err = np.sqrt(np.mean((got - want) ** 2))
+            assert err < 2e-3 * ref_rms + 1e-5, (b, fi, err, ref_rms)
