@@ -23,21 +23,25 @@ __all__ = ["CeltBatchEncoder", "CeltBatchDecoder", "OpusBatchEncoder"]
 
 
 class CeltBatchEncoder:
-    """CELT-only batched encoder: B concurrent 48 kHz mono streams,
-    CBR (the flagship batched pipeline; mirrors the scalar Encoder's
-    CELT mode at complexity 0).
+    """CELT-only batched encoder: B concurrent 48 kHz mono or stereo
+    streams, CBR (the flagship batched pipeline; mirrors the scalar
+    Encoder's CELT mode at complexity 0, incl. the stereo
+    theta/intensity/dual-stereo band tree for channels == 2).
 
-    encode(pcm [B, frame_size]) -> (packets: list[bytes], final_ranges).
+    encode(pcm [B, frame_size] mono / [B, 2, frame_size] or interleaved
+    [B, 2*frame_size] stereo) -> (packets, final_ranges).
     """
 
     def __init__(self, batch: int, bitrate: int = 64000,
                  sample_rate: int = 48000, frame_size: int = 960,
-                 exact: bool = False):
+                 exact: bool = False, channels: int = 1):
         import jax.numpy as jnp
 
         from .celt import batch_encoder as be
         if sample_rate != 48000:
             raise OpusError.bad_arg("batched path is 48 kHz")
+        if channels not in (1, 2):
+            raise OpusError.bad_arg("channels must be 1 or 2")
         lm = {120: 0, 240: 1, 480: 2, 960: 3}.get(frame_size)
         if lm is None:
             raise OpusError.bad_arg("bad frame size")
@@ -46,25 +50,43 @@ class CeltBatchEncoder:
         self.batch = batch
         self.bitrate = bitrate
         self.frame_size = frame_size
+        self.channels = channels
         self.lm = lm
         self.nbytes = be.cbr_bytes(bitrate, self.frame_size, sample_rate,
                                    1275)
         self.exact = exact
         dtype = jnp.float64 if exact else jnp.float32
-        self.state = be.init_stream_state(batch, dtype=dtype)
+        self.state = be.init_stream_state(batch, dtype=dtype) \
+            if channels == 1 else \
+            be.init_stream_state_stereo(batch, dtype=dtype)
         self._nbytes_dev = jnp.full((batch,), self.nbytes, jnp.int32)
         self._bitrate_dev = jnp.full((batch,), bitrate, jnp.int32)
         self._toc = pkt.gen_toc(CodecMode.CELT_ONLY, 400 >> lm,
-                                Bandwidth.FULLBAND, 1)
+                                Bandwidth.FULLBAND, channels)
         self.final_ranges = np.zeros(batch, np.uint64)
         self._packed_fn = None
         self._frames_fn = None
 
+    def _shape_pcm(self, pcm):
+        """Accept [B, N] (mono), [B, C, N] (planar stereo) or
+        interleaved [B, N*C] (the reference opus_encode layout,
+        encoder.rs:80-126) and return the planner's layout."""
+        jnp = self._jnp
+        if self.channels == 1:
+            return pcm
+        if pcm.ndim == 3:
+            return pcm
+        N = self.frame_size
+        return jnp.transpose(
+            pcm.reshape(pcm.shape[0], N, 2), (0, 2, 1))
+
     def encode_step_device(self, pcm):
         """Device half only: returns (plan coder, updates state).
         ``pcm``: [B, 960] float array (jnp or np)."""
-        pcm = self._jnp.asarray(pcm)
-        c, self.state = self._be.celt_encode_batch_plan_jit(
+        pcm = self._shape_pcm(self._jnp.asarray(pcm))
+        fn = self._be.celt_encode_batch_plan_jit if self.channels == 1 \
+            else self._be.celt_encode_batch_plan_stereo_jit
+        c, self.state = fn(
             pcm, self.state, self._nbytes_dev, self._bitrate_dev,
             lm=self.lm, exact=self.exact)
         return c
@@ -118,17 +140,19 @@ class CeltBatchEncoder:
         import jax
 
         from .celt import batch_pack as bp
-        pcm = self._jnp.asarray(pcm)
+        pcm = self._shape_pcm(self._jnp.asarray(pcm))
         if self._packed_fn is None:
             be = self._be
             jnp = self._jnp
             lm, exact, nbytes = self.lm, self.exact, self.nbytes
+            plan_fn = be.celt_encode_batch_plan if self.channels == 1 \
+                else be.celt_encode_batch_plan_stereo
 
             def run(pcm, state, nb, br):
                 if pcm.dtype == jnp.int16:
                     # int16 API lane: halves the host->device traffic
                     pcm = pcm.astype(jnp.float32) * (1.0 / 32768.0)
-                c, st2 = be.celt_encode_batch_plan(
+                c, st2 = plan_fn(
                     pcm, state, nb, br, lm=lm, exact=exact)
                 out, rng = bp.pack_plan_device(c.ops, nb, nbytes)
                 # one fused uint8 payload: bytes + little-endian final
@@ -175,10 +199,12 @@ class CeltBatchEncoder:
 
             be = self._be
             lm, exact, nbytes = self.lm, self.exact, self.nbytes
+            plan_fn = be.celt_encode_batch_plan if self.channels == 1 \
+                else be.celt_encode_batch_plan_stereo
 
             def run(pcm_frames, state, nb, br):
                 def body(st, pcm):
-                    c, st = be.celt_encode_batch_plan(
+                    c, st = plan_fn(
                         pcm, st, nb, br, lm=lm, exact=exact)
                     out, rng = bp.pack_plan_device(c.ops, nb, nbytes)
                     return st, (out, rng)

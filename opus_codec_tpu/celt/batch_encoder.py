@@ -113,13 +113,19 @@ def make_tables(lm: int = 3, C: int = 1) -> Tables:
 
 def coarse_energy(c: PlanCoder, bandLogE, oldEBands, budget, intra,
                   nb_available_bytes, lm: int, start: int, end: int):
-    """Single-pass quant_coarse_energy for mono [B, nb] inputs.
+    """Single-pass quant_coarse_energy for [B, nb] (mono) or [B, C, nb]
+    inputs (band-major, channel-minor symbol order as in
+    quant_bands.c:178-257).
 
-    ``intra`` is a [B] bool.  Returns (coder, oldEBands', error).
-    All float math in the input dtype (float64 matches the scalar
-    encoder bit-for-bit)."""
+    ``intra`` is a [B] bool.  Returns (coder, oldEBands', error) with
+    the input's shape.  All float math in the input dtype (float64
+    matches the scalar encoder bit-for-bit)."""
     dt = bandLogE.dtype
-    B, nb = bandLogE.shape
+    mono_in = bandLogE.ndim == 2
+    if mono_in:
+        bandLogE = bandLogE[:, None, :]
+        oldEBands = oldEBands[:, None, :]
+    B, C, nb = bandLogE.shape
     tell0 = bc.tell(c)
     code_intra_flag = tell0 + 3 <= budget
     intra = jnp.where(code_intra_flag, intra, False)
@@ -139,46 +145,49 @@ def coarse_energy(c: PlanCoder, bandLogE, oldEBands, budget, intra,
     probs_j = jnp.asarray(probs)        # [2, 42]
     intra_i = intra.astype(_i32)
 
-    prev = jnp.zeros((B,), dt)
+    prev = jnp.zeros((B, C), dt)
     old = oldEBands
-    err = jnp.zeros((B, nb), dt)
+    err = jnp.zeros((B, C, nb), dt)
     for i in range(start, end):
-        x = bandLogE[:, i]
-        oldE = jnp.maximum(jnp.asarray(-9.0, dt), old[:, i])
-        f = x - coef * oldE - prev
-        qi = jnp.floor(0.5 + f).astype(_i32)
-        decay_bound = jnp.maximum(jnp.asarray(-28.0, dt),
-                                  old[:, i]) - max_decay
-        boost = (decay_bound - x).astype(_i32)
-        qi = jnp.where((qi < 0) & (x < decay_bound),
-                       jnp.minimum(qi + boost, 0), qi)
-        tell_i = bc.tell(c)
-        bits_left = budget - tell_i - 3 * (end - i)
-        if i != start:
-            qi = jnp.where(bits_left < 24, jnp.minimum(1, qi), qi)
-            qi = jnp.where(bits_left < 16, jnp.maximum(-1, qi), qi)
-        rem = budget - tell_i
         pi = 2 * min(i, 20)
-        # three coding regimes by remaining budget
-        m_lap = rem >= 15
-        m_small = (~m_lap) & (rem >= 2)
-        m_one = (~m_lap) & (~m_small) & (rem >= 1)
-        m_none = rem < 1
         fs0 = probs_j[intra_i, pi] << 7
         decay = probs_j[intra_i, pi + 1] << 6
-        c, qi_lap = bc.laplace(c, m_lap, qi, fs0, decay)
-        qi_s = jnp.clip(qi, -1, 1)
-        c = bc.icdf(c, m_small, (2 * qi_s) ^ jnp.where(qi_s < 0, -1, 0),
-                    np.asarray(SMALL_ENERGY_ICDF, np.int32), 2)
-        qi_o = jnp.minimum(0, qi)
-        c = bc.bit_logp(c, m_one, -qi_o, 1)
-        qi = jnp.where(m_lap, qi_lap,
-                       jnp.where(m_small, qi_s,
-                                 jnp.where(m_one, qi_o, -1)))
-        q = qi.astype(dt)
-        err = err.at[:, i].set(f - q)
-        old = old.at[:, i].set(coef * oldE + prev + q)
-        prev = prev + q - beta * q
+        for ch in range(C):
+            x = bandLogE[:, ch, i]
+            oldE = jnp.maximum(jnp.asarray(-9.0, dt), old[:, ch, i])
+            f = x - coef * oldE - prev[:, ch]
+            qi = jnp.floor(0.5 + f).astype(_i32)
+            decay_bound = jnp.maximum(jnp.asarray(-28.0, dt),
+                                      old[:, ch, i]) - max_decay
+            boost = (decay_bound - x).astype(_i32)
+            qi = jnp.where((qi < 0) & (x < decay_bound),
+                           jnp.minimum(qi + boost, 0), qi)
+            tell_i = bc.tell(c)
+            bits_left = budget - tell_i - 3 * C * (end - i)
+            if i != start:
+                qi = jnp.where(bits_left < 24, jnp.minimum(1, qi), qi)
+                qi = jnp.where(bits_left < 16, jnp.maximum(-1, qi), qi)
+            rem = budget - tell_i
+            # three coding regimes by remaining budget
+            m_lap = rem >= 15
+            m_small = (~m_lap) & (rem >= 2)
+            m_one = (~m_lap) & (~m_small) & (rem >= 1)
+            c, qi_lap = bc.laplace(c, m_lap, qi, fs0, decay)
+            qi_s = jnp.clip(qi, -1, 1)
+            c = bc.icdf(c, m_small,
+                        (2 * qi_s) ^ jnp.where(qi_s < 0, -1, 0),
+                        np.asarray(SMALL_ENERGY_ICDF, np.int32), 2)
+            qi_o = jnp.minimum(0, qi)
+            c = bc.bit_logp(c, m_one, -qi_o, 1)
+            qi = jnp.where(m_lap, qi_lap,
+                           jnp.where(m_small, qi_s,
+                                     jnp.where(m_one, qi_o, -1)))
+            q = qi.astype(dt)
+            err = err.at[:, ch, i].set(f - q)
+            old = old.at[:, ch, i].set(coef * oldE + prev[:, ch] + q)
+            prev = prev.at[:, ch].set(prev[:, ch] + q - beta * q)
+    if mono_in:
+        return c, old[:, 0], err[:, 0]
     return c, old, err
 
 
@@ -278,13 +287,17 @@ def trim_coding_c0(c: PlanCoder, total_bits_q3, total_boost):
 
 def compute_allocation_batch(c: PlanCoder, t: Tables, offsets_q3, trim,
                              total, lm: int, start: int, end: int,
-                             prev_coded, signal_bandwidth):
-    """Vectorized clt_compute_allocation for C=1.
+                             prev_coded, signal_bandwidth, C: int = 1,
+                             intensity=None, dual_stereo=None):
+    """Vectorized clt_compute_allocation (rate.c:534-645).
 
     offsets_q3/total/trim/prev_coded/signal_bandwidth: [B] or [B, nb].
+    For C == 2, ``intensity`` ([B] int32 band index) and
+    ``dual_stereo`` ([B] int32 0/1) are the encoder's requested values;
+    the coded (possibly clamped) values are returned.
+
     Returns (coder, pulses [B,nb], ebits [B,nb], fine_priority [B,nb],
-    coded_bands [B], balance [B])."""
-    C = 1
+    coded_bands [B], balance [B], intensity' [B], dual_stereo' [B])."""
     nb = len(t.e_bands) - 1
     B = total.shape[0]
     e_bands = t.e_bands
@@ -296,9 +309,19 @@ def compute_allocation_batch(c: PlanCoder, t: Tables, offsets_q3, trim,
     alloc_floor = C << BITRES
     skip_rsv = jnp.where(total >= (1 << BITRES), 1 << BITRES, 0)
     total = total - skip_rsv
-    # C == 1: no intensity/dual reservations
-    intensity_rsv = jnp.zeros((B,), _i32)
-    dual_stereo_rsv = jnp.zeros((B,), _i32)
+    if C == 2:
+        # intensity + dual reservations (rate.c:556-566)
+        intensity_rsv = jnp.full((B,), int(LOG2_FRAC_TABLE[end - start]),
+                                 _i32)
+        fits = intensity_rsv <= total
+        intensity_rsv = jnp.where(fits, intensity_rsv, 0)
+        total = total - intensity_rsv
+        dual_stereo_rsv = jnp.where(
+            fits & (total >= (1 << BITRES)), 1 << BITRES, 0)
+        total = total - dual_stereo_rsv
+    else:
+        intensity_rsv = jnp.zeros((B,), _i32)
+        dual_stereo_rsv = jnp.zeros((B,), _i32)
 
     trim_offset = jnp.zeros((B, nb), _i32)
     for j in range(start, end):
@@ -423,6 +446,12 @@ def compute_allocation_batch(c: PlanCoder, t: Tables, offsets_q3, trim,
         psum = psum + jnp.where(dec, 1 << BITRES, 0)
         band_bits = band_bits - jnp.where(dec, 1 << BITRES, 0)
         psum = psum - jnp.where(cont, bits[:, j] + intensity_rsv, 0)
+        # shrink the intensity reservation with the band count
+        # (rate.c:381-385)
+        new_irsv = jnp.where(intensity_rsv > 0,
+                             int(LOG2_FRAC_TABLE[j - start]), 0)
+        psum = psum + jnp.where(cont, new_irsv, 0)
+        intensity_rsv = jnp.where(cont, new_irsv, intensity_rsv)
         give_floor = cont & (band_bits >= alloc_floor)
         psum = psum + jnp.where(give_floor, alloc_floor, 0)
         bits = bits.at[:, j].set(
@@ -434,6 +463,23 @@ def compute_allocation_batch(c: PlanCoder, t: Tables, offsets_q3, trim,
     # stream still unstopped with coded_bands-1 <= skip_start:
     final_hit = ~stopped & (coded_bands - 1 <= skip_start)
     total = total + jnp.where(final_hit, skip_rsv, 0)
+
+    # intensity / dual-stereo symbols (rate.c:394-420)
+    if C == 2:
+        has_int = intensity_rsv > 0
+        intensity = jnp.minimum(intensity, coded_bands)
+        c = bc.uint(c, has_int, intensity - start,
+                    (coded_bands + 1 - start).astype(jnp.uint32))
+        intensity = jnp.where(has_int, intensity, 0)
+        give_back = (intensity <= start) & (dual_stereo_rsv > 0)
+        total = total + jnp.where(give_back, dual_stereo_rsv, 0)
+        dual_stereo_rsv = jnp.where(give_back, 0, dual_stereo_rsv)
+        has_dual = dual_stereo_rsv > 0
+        c = bc.bit_logp(c, has_dual, dual_stereo.astype(_i32), 1)
+        dual_stereo = jnp.where(has_dual, dual_stereo, 0)
+    else:
+        intensity = jnp.zeros((B,), _i32)
+        dual_stereo = jnp.zeros((B,), _i32)
 
     # final distribution (rate.c:422-433)
     left = total - psum
@@ -450,11 +496,11 @@ def compute_allocation_batch(c: PlanCoder, t: Tables, offsets_q3, trim,
         bits = bits.at[:, j].add(jnp.where(inb, tmp, 0))
         left = left - jnp.where(inb, tmp, 0)
 
-    # fine-energy split (rate.c:436-529), C == 1
+    # fine-energy split (rate.c:436-529)
+    stereo = 1 if C == 2 else 0
     ebits = jnp.zeros((B, nb), _i32)
     fine_priority = jnp.zeros((B, nb), _i32)
     balance = jnp.zeros((B,), _i32)
-    log_n = jnp.asarray(t.log_n)
     for j in range(start, end):
         inb = j < coded_bands
         N0 = int(widths[j])
@@ -463,7 +509,11 @@ def compute_allocation_batch(c: PlanCoder, t: Tables, offsets_q3, trim,
         if N > 1:
             excess = jnp.maximum(bit - caps[j], 0)
             bj = bit - excess
-            den = C * N
+            # den: fractional half-bit for mid-only theta bands
+            # (rate.c:462-466)
+            den = C * N + jnp.where(
+                (C == 2) & (N > 2) & (dual_stereo == 0)
+                & (j < intensity), 1, 0)
             NClogN = den * (int(t.log_n[j]) + logM)
             offset = (NClogN >> 1) - den * FINE_OFFSET
             if N == 2:
@@ -475,7 +525,7 @@ def compute_allocation_batch(c: PlanCoder, t: Tables, offsets_q3, trim,
             eb = jnp.maximum(0, bj + offset + (den << (BITRES - 1)))
             eb = (eb // den) >> BITRES
             eb = jnp.where(C * eb > (bj >> BITRES),
-                           bj >> BITRES, eb)   # stereo=0
+                           bj >> stereo >> BITRES, eb)
             eb = jnp.minimum(eb, MAX_FINE_BITS)
             fp = (eb * (den << BITRES) >= bj + offset).astype(_i32)
             bj = bj - (C * eb << BITRES)
@@ -484,7 +534,8 @@ def compute_allocation_batch(c: PlanCoder, t: Tables, offsets_q3, trim,
             bj = bit - excess
             eb = jnp.zeros((B,), _i32)
             fp = jnp.ones((B,), _i32)
-        extra_fine = jnp.minimum(excess >> BITRES, MAX_FINE_BITS - eb)
+        extra_fine = jnp.minimum(excess >> (stereo + BITRES),
+                                 MAX_FINE_BITS - eb)
         has_excess = excess > 0
         eb2 = eb + jnp.where(has_excess, extra_fine, 0)
         extra_bits = extra_fine * C << BITRES
@@ -500,13 +551,14 @@ def compute_allocation_batch(c: PlanCoder, t: Tables, offsets_q3, trim,
     # skipped bands: everything becomes fine energy (rate.c:522-529)
     for j in range(start, end):
         skipped = j >= coded_bands
-        eb = bits[:, j] >> BITRES       # stereo=0
+        eb = bits[:, j] >> stereo >> BITRES
         ebits = ebits.at[:, j].set(jnp.where(skipped, eb, ebits[:, j]))
         fine_priority = fine_priority.at[:, j].set(
             jnp.where(skipped, (eb < 1).astype(_i32),
                       fine_priority[:, j]))
         bits = bits.at[:, j].set(jnp.where(skipped, 0, bits[:, j]))
-    return c, bits, ebits, fine_priority, coded_bands, balance
+    return (c, bits, ebits, fine_priority, coded_bands, balance,
+            intensity, dual_stereo)
 
 
 # ---------------------------------------------------------------------------
@@ -514,38 +566,56 @@ def compute_allocation_batch(c: PlanCoder, t: Tables, offsets_q3, trim,
 
 def fine_energy(c: PlanCoder, oldEBands, error, ebits, start: int,
                 end: int):
+    """quant_fine_energy (quant_bands.c:361-396).  oldEBands/error:
+    [B, nb] (mono) or [B, C, nb], band-major channel-minor symbols."""
     dt = error.dtype
+    mono_in = error.ndim == 2
+    if mono_in:
+        oldEBands = oldEBands[:, None, :]
+        error = error[:, None, :]
+    C = error.shape[1]
     for i in range(start, end):
         fq = ebits[:, i]
         has = fq > 0
         frac = (1 << fq).astype(dt)
-        q2 = jnp.floor((error[:, i] + 0.5) * frac).astype(_i32)
-        q2 = jnp.clip(q2, 0, (1 << fq) - 1)
-        c = bc.bits(c, has, q2, fq)
-        offset = ((q2.astype(dt) + 0.5)
-                  * (1 << (14 - fq)).astype(dt) / 16384.0 - 0.5)
-        offset = jnp.where(has, offset, 0)
-        oldEBands = oldEBands.at[:, i].add(offset)
-        error = error.at[:, i].add(-offset)
+        for ch in range(C):
+            q2 = jnp.floor((error[:, ch, i] + 0.5) * frac).astype(_i32)
+            q2 = jnp.clip(q2, 0, (1 << fq) - 1)
+            c = bc.bits(c, has, q2, fq)
+            offset = ((q2.astype(dt) + 0.5)
+                      * (1 << (14 - fq)).astype(dt) / 16384.0 - 0.5)
+            offset = jnp.where(has, offset, 0)
+            oldEBands = oldEBands.at[:, ch, i].add(offset)
+            error = error.at[:, ch, i].add(-offset)
+    if mono_in:
+        return c, oldEBands[:, 0], error[:, 0]
     return c, oldEBands, error
 
 
 def energy_finalise(c: PlanCoder, oldEBands, error, ebits, fine_priority,
                     bits_left, start: int, end: int):
-    """quant_energy_finalise (quant_bands.c:398-426), C == 1."""
+    """quant_energy_finalise (quant_bands.c:398-426)."""
     dt = error.dtype
+    mono_in = error.ndim == 2
+    if mono_in:
+        oldEBands = oldEBands[:, None, :]
+        error = error[:, None, :]
+    C = error.shape[1]
     for prio in range(2):
         for i in range(start, end):
-            go = (bits_left >= 1) & (ebits[:, i] < MAX_FINE_BITS) \
+            go = (bits_left >= C) & (ebits[:, i] < MAX_FINE_BITS) \
                 & (fine_priority[:, i] == prio)
-            q2 = (error[:, i] >= 0).astype(_i32)
-            c = bc.bits(c, go, q2, 1)
-            offset = (q2.astype(dt) - 0.5) \
-                * (1 << (14 - ebits[:, i] - 1)).astype(dt) / 16384.0
-            offset = jnp.where(go, offset, 0)
-            oldEBands = oldEBands.at[:, i].add(offset)
-            error = error.at[:, i].add(-offset)
-            bits_left = bits_left - go.astype(_i32)
+            for ch in range(C):
+                q2 = (error[:, ch, i] >= 0).astype(_i32)
+                c = bc.bits(c, go, q2, 1)
+                offset = (q2.astype(dt) - 0.5) \
+                    * (1 << (14 - ebits[:, i] - 1)).astype(dt) / 16384.0
+                offset = jnp.where(go, offset, 0)
+                oldEBands = oldEBands.at[:, ch, i].add(offset)
+                error = error.at[:, ch, i].add(-offset)
+            bits_left = bits_left - C * go.astype(_i32)
+    if mono_in:
+        return c, oldEBands[:, 0], error[:, 0]
     return c, oldEBands, error
 
 
@@ -574,12 +644,13 @@ def _bitexact_log2tan(isin, icos):
             - _frac_mul16(icos, _frac_mul16(icos, -2597) + 7932))
 
 
-def _compute_qn(N, b, offset, pulse_cap):
-    """bands.c:647-671 (mono: stereo==0)."""
+def _compute_qn(N, b, offset, pulse_cap, sub_n2=False):
+    """bands.c:647-671.  ``sub_n2``: the stereo N==2 case drops one
+    degree of freedom (N2 -= 1, bands.c:652-653)."""
     EXP2_TABLE8 = jnp.asarray(
         np.array([16384, 17866, 19483, 21247, 23170, 25267, 27554, 30048],
                  np.int32))
-    N2 = 2 * N - 1
+    N2 = 2 * N - 1 - jnp.asarray(sub_n2, _i32)
     num = b + N2 * offset
     qb = jnp.where(num >= 0, num // N2, -((-num) // N2))
     qb = jnp.minimum(b - pulse_cap - (4 << BITRES), qb)
@@ -707,6 +778,7 @@ class _Sched(NamedTuple):
     kmax: int               # max PVQ pulse count over nodes
     base: int               # group's first spectrum column
     Wg: int                 # group's spectrum width
+    stereo: int             # 0/1: carried buffer holds a Y plane at +Wg
     band: np.ndarray        # [n] band index
     win: np.ndarray         # [n] node window start, group-local.
                             # Windows are STATIC: child-order swaps are
@@ -723,18 +795,24 @@ class _Sched(NamedTuple):
     maxq: np.ndarray        # [n]
     thresh: np.ndarray      # [n] split threshold
     pulse_cap: np.ndarray   # [n] for compute_qn at this node's split
+    kind: np.ndarray        # [n] 0 = mono node, 1 = stereo band root
+    poff: np.ndarray        # [n] partner-window offset for the child
+                            # swap (mono split: N>>1; stereo root: Wg)
+    st_pcap: np.ndarray     # [n] band-level pulse cap (stereo theta)
 
 
-def _sched_from_recs(recs, start: int, cache_bits) -> _Sched:
+def _sched_from_recs(recs, start: int, cache_bits,
+                     stereo: int = 0, Wg: int = 0) -> _Sched:
     n = len(recs)
     NBmax = max(r["N"] for r in recs)
     rowlen = max(r["maxq"] for r in recs) + 1
     kmax = max(1, max(get_pulses(r["maxq"]) for r in recs))
     base = min(r["xlo"] for r in recs)
-    Wg = max(r["xlo"] + r["N"] for r in recs) - base
+    if not Wg:
+        Wg = max(r["xlo"] + r["N"] for r in recs) - base
     cache_rows = np.zeros((n, rowlen), np.int32)
     for j, r in enumerate(recs):
-        if not r["is_n1"]:
+        if not r["is_n1"] and not r["kind"]:
             row = cache_bits[r["cache_off"]:
                              r["cache_off"] + r["maxq"] + 1]
             cache_rows[j, :len(row)] = row
@@ -743,9 +821,11 @@ def _sched_from_recs(recs, start: int, cache_bits) -> _Sched:
     def arr(key, dt=np.int32):
         return np.asarray([r[key] for r in recs], dt)
 
+    poff = np.asarray([Wg if r["kind"] else (r["N"] >> 1)
+                       for r in recs], np.int32)
     return _Sched(
         n_steps=n, NBmax=NBmax, rowlen=rowlen, kmax=kmax,
-        base=base, Wg=Wg,
+        base=base, Wg=Wg, stereo=stereo,
         band=arr("band"),
         win=np.asarray([r["xlo"] - base for r in recs], np.int32),
         is_root=arr("is_root"),
@@ -755,11 +835,13 @@ def _sched_from_recs(recs, start: int, cache_bits) -> _Sched:
             np.int32),
         N=arr("N"), can_split=arr("can_split"), parent=arr("parent"),
         is_second=arr("is_second"), cache_row=cache_rows,
-        maxq=arr("maxq"), thresh=arr("thresh"), pulse_cap=arr("pcap"))
+        maxq=arr("maxq"), thresh=arr("thresh"), pulse_cap=arr("pcap"),
+        kind=arr("kind"), poff=poff, st_pcap=arr("st_pcap"))
 
 
 @lru_cache(maxsize=None)
-def _band_schedule_groups(lm: int, start: int, end: int):
+def _band_schedule_groups(lm: int, start: int, end: int,
+                          stereo: bool = False):
     """Preorder node schedules, split into groups of consecutive bands
     with equal root width.
 
@@ -768,9 +850,14 @@ def _band_schedule_groups(lm: int, start: int, end: int):
     Band widths are monotone, so grouping by width and running one scan
     per group carries only the [B] coder state (rng/tell/balance/rem —
     the only cross-band data flow in bands.c:1398-1672) across groups
-    while each group pays its own width — ~3-4x less vector work."""
+    while each group pays its own width — ~3-4x less vector work.
+
+    With ``stereo`` each band gets a *stereo root* node
+    (compute_theta/intensity/dual dispatch, bands.c:1235-1381) whose two
+    children are the band's mono X/Y subtrees; the Y plane lives at
+    +Wg in the carried group buffer."""
     m = standard_mode()
-    t = make_tables(lm, 1)
+    t = make_tables(lm, 2 if stereo else 1)
     nb = m.nb_ebands
     M = 1 << lm
     widths = (t.e_bands[1:] - t.e_bands[:-1]).astype(np.int64)
@@ -779,9 +866,9 @@ def _band_schedule_groups(lm: int, start: int, end: int):
     cur_width = None
 
     def add(recs, band, xlo, is_root, is_n1, N, lmk, parent,
-            is_second):
-        can_split = int(lmk != -1 and N > 2)
-        if is_n1:
+            is_second, kind=0):
+        can_split = int(kind == 0 and lmk != -1 and N > 2)
+        if is_n1 or kind:
             cache_off, maxq, thresh, pcap = 0, 0, 0, 0
         else:
             cache_off = int(t.cache_index[(lmk + 1) * nb + band])
@@ -789,11 +876,14 @@ def _band_schedule_groups(lm: int, start: int, end: int):
             thresh = int(t.cache_bits[cache_off + maxq]) + 12 \
                 if can_split else 0
             pcap = int(t.log_n[band]) + (lmk - 1) * (1 << BITRES)
+        # band-level pulse cap for the stereo root's compute_qn
+        # (bands.c:712: log_n + LM*(1<<BITRES) at the band's LM)
+        st_pcap = int(t.log_n[band]) + lmk * (1 << BITRES)
         recs.append(dict(band=band, xlo=xlo, is_root=is_root,
                          is_n1=is_n1, N=N, lmk=lmk, parent=parent,
                          is_second=is_second, can_split=can_split,
                          cache_off=cache_off, maxq=maxq, thresh=thresh,
-                         pcap=pcap))
+                         pcap=pcap, kind=kind, st_pcap=st_pcap))
         idx = len(recs) - 1
         if can_split:
             # static child windows: the first-coded child always owns
@@ -804,16 +894,48 @@ def _band_schedule_groups(lm: int, start: int, end: int):
             add(recs, band, xlo + half, 0, 0, half, lmk - 1, idx, 1)
         return idx
 
+    def add_band(recs, i, base_off):
+        xlo = M * int(t.e_bands[i]) - base_off
+        N = M * int(widths[i])
+        if not stereo:
+            add(recs, i, xlo + base_off, 1, int(N == 1), N, lm, -1, 0)
+            return
+        # stereo root; children are the X and Y mono subtrees.  The Y
+        # window offset (+Wg) is resolved in _sched_from_recs via poff.
+        ridx = add(recs, i, xlo + base_off, 1, int(N == 1), N, lm, -1,
+                   0, kind=1)
+        if N > 1:
+            add(recs, i, xlo + base_off, 0, 0, N, lm, ridx, 0)
+            # Y subtree windows are shifted by +Wg when the group is
+            # assembled (they index the Y plane)
+            recs_y_start = len(recs)
+            add(recs, i, xlo + base_off, 0, 0, N, lm, ridx, 1)
+            for r in recs[recs_y_start:]:
+                r["y_plane"] = True
+
     for i in range(start, end):
         w = int(widths[i])
         if cur_width is not None and w != cur_width:
-            groups.append(_sched_from_recs(cur, start, t.cache_bits))
+            groups.append(_finish_group(cur, start, t.cache_bits,
+                                        stereo))
             cur = []
         cur_width = w
-        xlo = M * int(t.e_bands[i])
-        add(cur, i, xlo, 1, int(M * w == 1), M * w, lm, -1, 0)
-    groups.append(_sched_from_recs(cur, start, t.cache_bits))
+        add_band(cur, i, 0)
+    groups.append(_finish_group(cur, start, t.cache_bits, stereo))
     return tuple(groups)
+
+
+def _finish_group(recs, start: int, cache_bits, stereo: bool) -> _Sched:
+    """Resolve Y-plane windows (xlo += Wg) then build the schedule."""
+    Wg = 0
+    if stereo:
+        base = min(r["xlo"] for r in recs)
+        Wg = max(r["xlo"] + r["N"] for r in recs
+                 if not r.get("y_plane")) - base
+        for r in recs:
+            if r.get("y_plane"):
+                r["xlo"] += Wg
+    return _sched_from_recs(recs, start, cache_bits, int(stereo), Wg)
 
 
 def _seq_sum_masked(x, exact: bool):
@@ -980,29 +1102,41 @@ def _icwrs_node(iy, u_parts, u_row, Nj):
     return idx, v
 
 
+QTHETA_OFFSET_TWOPHASE = 16             # bands.c:57
+
+
 def quant_all_bands_batch(c: PlanCoder, X, pulses, coded_bands,
                           total_bits_q3, balance0, t: Tables, lm: int,
-                          start: int, end: int, exact: bool):
-    """bands.c:1398-1672 encode path, mono, long blocks, no resynth —
+                          start: int, end: int, exact: bool,
+                          Y=None, intensity=None, dual_stereo=None,
+                          bandE=None, disable_inv: bool = False):
+    """bands.c:1398-1672 encode path, long blocks, no resynth —
     a sequence of ``lax.scan``s over static preorder node schedules,
     one per band-width group (``_band_schedule_groups``), carrying the
     [B] coder state (rng/tell/balance/rem) across groups.
 
     X: [B, Nfreq] normalised spectrum; pulses/coded_bands/balance0 from
-    the allocation.  Returns the coder."""
+    the allocation.  For stereo pass Y plus the coded ``intensity`` /
+    ``dual_stereo`` ([B]) and the raw band energies bandE [B, 2, nb]
+    (intensity_stereo weights, bands.c:388-399).  Returns the coder."""
     rng, nbt = c.rng, c.nbits_total
     balance = balance0
     rem = jnp.zeros(balance0.shape, _i32)
-    for s in _band_schedule_groups(lm, start, end):
+    stereo = Y is not None
+    for s in _band_schedule_groups(lm, start, end, stereo):
         rng, nbt, balance, rem, block, nrows = _quant_group(
             s, X, pulses, coded_bands, total_bits_q3, t,
-            rng, nbt, balance, rem, exact)
+            rng, nbt, balance, rem, exact,
+            Y=Y, intensity=intensity, dual_stereo=dual_stereo,
+            bandE=bandE, disable_inv=disable_inv)
         c = bc.append_block(c, block, nrows)
     return c._replace(rng=rng, nbits_total=nbt)
 
 
 def _quant_group(s: _Sched, X, pulses, coded_bands, total_bits_q3,
-                 t: Tables, rng0, nbt0, balance0, rem0, exact: bool):
+                 t: Tables, rng0, nbt0, balance0, rem0, exact: bool,
+                 Y=None, intensity=None, dual_stereo=None, bandE=None,
+                 disable_inv: bool = False):
     """One band-width group's node scan; returns the carried coder
     state plus this group's plan-row block."""
     B = X.shape[0]
@@ -1025,10 +1159,14 @@ def _quant_group(s: _Sched, X, pulses, coded_bands, total_bits_q3,
     # Group spectrum with NB of zero padding both sides: node windows
     # are static (schedule), child-order swaps are materialised into
     # this carried copy, so every segment read is a uniform slice.
-    Xg0 = jnp.concatenate(
-        [jnp.zeros((B, NB), X.dtype),
-         jax.lax.slice_in_dim(X, s.base, s.base + s.Wg, axis=1),
-         jnp.zeros((B, NB), X.dtype)], axis=1)
+    # Stereo: the Y plane sits at +Wg (stereo-root poff points there).
+    planes = [jnp.zeros((B, NB), X.dtype),
+              jax.lax.slice_in_dim(X, s.base, s.base + s.Wg, axis=1)]
+    if s.stereo:
+        planes.append(
+            jax.lax.slice_in_dim(Y, s.base, s.base + s.Wg, axis=1))
+    planes.append(jnp.zeros((B, NB), X.dtype))
+    Xg0 = jnp.concatenate(planes, axis=1)
 
     xs = {
         "band": jnp.asarray(s.band),
@@ -1044,12 +1182,26 @@ def _quant_group(s: _Sched, X, pulses, coded_bands, total_bits_q3,
         "pulse_cap": jnp.asarray(s.pulse_cap),
         "node_id": jnp.arange(n, dtype=_i32),
         "u_row": jnp.asarray(u_rows),
+        "kind": jnp.asarray(s.kind), "poff": jnp.asarray(s.poff),
+        "st_pcap": jnp.asarray(s.st_pcap),
     }
+    if s.stereo:
+        # per-band intensity_stereo weights from the raw band energies
+        # (bands.c:388-399); [n, B] rows aligned with the schedule
+        eL = bandE[:, 0, :]
+        eR = bandE[:, 1, :]
+        nrm = jnp.asarray(EPSILON, dt) + jnp.sqrt(
+            jnp.asarray(EPSILON, dt) + eL * eL + eR * eR)
+        a1_all = (eL / nrm).astype(dt)
+        a2_all = (eR / nrm).astype(dt)
+        xs["a1"] = jnp.take(a1_all, jnp.asarray(s.band), axis=1).T
+        xs["a2"] = jnp.take(a2_all, jnp.asarray(s.band), axis=1).T
 
     zi = jnp.zeros((B, n), _i32)
     carry0 = dict(
         rng=rng0, nbt=nbt0, balance=balance0, rem=rem0, Xg=Xg0,
         split_arr=jnp.zeros((B, n), bool),
+        act2_arr=jnp.zeros((B, n), bool),
         mbits_arr=zi, sbits_arr=zi, swap_arr=jnp.zeros((B, n), bool),
         itheta_arr=zi, snap_arr=zi)
 
@@ -1084,6 +1236,7 @@ def _quant_group(s: _Sched, X, pulses, coded_bands, total_bits_q3,
                 cy[name], par, 1, axis=1)[:, 0]
 
         p_split = g("split_arr")
+        p_act2 = g("act2_arr")
         p_mb = g("mbits_arr")
         p_sb = g("sbits_arr")
         p_sw = g("swap_arr")
@@ -1100,12 +1253,15 @@ def _quant_group(s: _Sched, X, pulses, coded_bands, total_bits_q3,
                             first_b)
 
         b_in = jnp.where(is_root, b_root, b_child)
-        act_in = jnp.where(is_root, act_band, p_split)
+        act_in = jnp.where(is_root, act_band,
+                           jnp.where(is2, p_act2, p_split))
         rem_in = jnp.where(is_root, remaining, cy["rem"])
+        is_st = x["kind"] == 1          # stereo band root
 
-        # ---- leaf / split decision
+        # ---- leaf / split decision (stereo roots never split/leaf:
+        # can_split == 0 there, and leaf is gated off explicitly)
         split = act_in & (x["can_split"] == 1) & (b_in > x["thresh"])
-        leaf = act_in & ~split & ~is_n1
+        leaf = act_in & ~split & ~is_n1 & ~is_st
 
         # ---- this node's spectrum segment: the window is STATIC
         # (swaps were materialised by ancestor steps), so one uniform
@@ -1185,8 +1341,123 @@ def _quant_group(s: _Sched, X, pulses, coded_bands, total_bits_q3,
         fs = jnp.where(low, itheta + 1, qn + 1 - itheta)
         fl = jnp.where(low, itheta * (itheta + 1) >> 1,
                        ft - ((qn + 1 - itheta) * (qn + 2 - itheta) >> 1))
-        rng, nbt, row0 = bc.encode_rn(rng, nbt, has_theta, fl, fl + fs,
-                                      ft)
+
+        if s.stereo:
+            # ==== stereo band root: compute_theta(stereo=1) + dual /
+            # intensity / N==2 dispatch (bands.c:700-903, 1235-1381)
+            po = x["poff"]
+            segY_raw = jax.lax.dynamic_slice_in_dim(
+                cy["Xg"], x["win"] + po, NB, axis=1)
+            segY = jnp.where(valid, segY_raw, jnp.asarray(0.0, dt))
+            is_n2 = Nj == 2
+            use_dual = (dual_stereo == 1) & (x["band"] < intensity)
+            st_go = is_st & ~use_dual & ~is_n1
+
+            half_y = jnp.asarray(0.5, dt)
+            mm = half_y * (seg + segY)
+            ss = half_y * (seg - segY)
+            emid_s = jnp.asarray(EPSILON, dt) + _seq_sum(mm * mm, exact)
+            eside_s = jnp.asarray(EPSILON, dt) + _seq_sum(ss * ss, exact)
+            itheta_raw_s = jnp.floor(
+                0.5 + 16384 * (2 / math.pi)
+                * jnp.arctan2(jnp.sqrt(eside_s),
+                              jnp.sqrt(emid_s))).astype(_i32)
+            offs_s = (x["st_pcap"] >> 1) - jnp.where(
+                is_n2, QTHETA_OFFSET_TWOPHASE, QTHETA_OFFSET)
+            qn_s = _compute_qn(Nj, b_in, offs_s, x["st_pcap"],
+                               sub_n2=is_n2)
+            qn_s = jnp.where(x["band"] >= intensity, 1, qn_s)
+            theta_mask = st_go & (qn_s != 1)
+            itheta_s = (itheta_raw_s * qn_s + 8192) >> 14
+            # N>2: the p0=3 asymmetric model (bands.c:736-747)
+            p0 = 3
+            x0 = qn_s >> 1
+            ft_s = p0 * (x0 + 1) + x0
+            le = itheta_s <= x0
+            fl_s = jnp.where(le, p0 * itheta_s,
+                             (itheta_s - 1 - x0) + (x0 + 1) * p0)
+            fh_s = jnp.where(le, p0 * (itheta_s + 1),
+                             (itheta_s - x0) + (x0 + 1) * p0)
+            # merged theta encode op: mono triangular | stereo p0
+            m_enc = jnp.where(is_st, theta_mask & ~is_n2, has_theta)
+            e_fl = jnp.where(is_st, fl_s, fl)
+            e_fh = jnp.where(is_st, fh_s, fl + fs)
+            e_ft = jnp.where(is_st, ft_s, ft)
+            rng, nbt, row0 = bc.encode_rn(rng, nbt, m_enc, e_fl, e_fh,
+                                          e_ft)
+            # N==2: ec_enc_uint(itheta, qn+1) (bands.c:748-749)
+            m_uint = theta_mask & is_n2
+            rng, nbt, row_u1, row_u2 = bc.uint_rn(
+                rng, nbt, m_uint, itheta_s,
+                (qn_s + 1).astype(jnp.uint32))
+            row0 = jnp.where(row0[..., 0:1] != -1, row0, row_u1)
+            itheta_q14_s = jnp.where(
+                qn_s != 1,
+                (itheta_s * 16384) // jnp.maximum(qn_s, 1), 0)
+            # qn==1: inv flag + intensity (bands.c:755-775)
+            inv_calc = st_go & (qn_s == 1)
+            inv_s = inv_calc & (itheta_raw_s > 8192) & (not disable_inv)
+            m_inv = inv_calc & (b_in > (2 << BITRES)) \
+                & (rem_in > (2 << BITRES))
+            rng, nbt, row_inv = bc.bit_logp_rn(
+                rng, nbt, m_inv, inv_s.astype(_i32), 2)
+            row0 = jnp.where(row0[..., 0:1] != -1, row0, row_inv)
+            qalloc_s = jnp.where(st_go,
+                                 bc.tell_frac_rn(rng, nbt) - tell0, 0)
+            b_post_s = b_in - qalloc_s
+            # transforms: stereo_split / intensity (bands.c:388-417)
+            int_case = (qn_s == 1) | (itheta_q14_s == 0)
+            rt2 = jnp.asarray(0.70710678, dt)
+            Xs_sp = rt2 * seg + rt2 * segY
+            Ys_sp = rt2 * segY - rt2 * seg
+            y_for_int = jnp.where(inv_s[:, None], -segY, segY)
+            X_int = x["a1"][:, None] * seg + x["a2"][:, None] * y_for_int
+            newX = jnp.where(int_case[:, None], X_int, Xs_sp)
+            newY = jnp.where(int_case[:, None], segY, Ys_sp)
+            # N==2 special: 1 side sign bit, x2 choice (bands.c:1269-1320)
+            sb_n2 = jnp.where((itheta_q14_s != 0)
+                              & (itheta_q14_s != 16384), 1 << BITRES, 0)
+            mbits_n2 = b_post_s - sb_n2
+            sw_n2 = itheta_q14_s > 8192
+            x2 = jnp.where(sw_n2[:, None], newY, newX)
+            y2 = jnp.where(sw_n2[:, None], newX, newY)
+            cross = x2[:, 0] * y2[:, 1] - x2[:, 1] * y2[:, 0]
+            m_sg = st_go & is_n2 & (sb_n2 > 0)
+            rng, nbt, row_sg = bc.bits_rn(
+                rng, nbt, m_sg, (cross < 0).astype(_i32), 1)
+            # N>2: mid/side bit split (bands.c:1335-1342), band-level
+            # delta (no B0 halving adjustment for long blocks)
+            imid_s = jnp.where(itheta_q14_s == 0, 32767,
+                               jnp.where(itheta_q14_s == 16384, 0,
+                                         _bitexact_cos(itheta_q14_s)))
+            iside_s = jnp.where(
+                itheta_q14_s == 0, 0,
+                jnp.where(itheta_q14_s == 16384, 32767,
+                          _bitexact_cos(16384 - itheta_q14_s)))
+            delta_s = jnp.where(
+                itheta_q14_s == 0, -16384,
+                jnp.where(itheta_q14_s == 16384, 16384,
+                          _frac_mul16((Nj - 1) << 7,
+                                      _bitexact_log2tan(iside_s,
+                                                        imid_s))))
+            mbits_s = jnp.maximum(
+                0, jnp.minimum(b_post_s, (b_post_s - delta_s) // 2))
+            sbits_s = b_post_s - mbits_s
+            sw_s = mbits_s < sbits_s
+            # stereo n1: one sign bit per channel (bands.c:904-937)
+            n1_st = is_st & is_n1
+            m_s1 = n1_st & (rem_in >= (1 << BITRES))
+            rng, nbt, row_s1 = bc.bits_rn(
+                rng, nbt, m_s1, (seg[:, 0] < 0).astype(_i32), 1)
+            rem_n1 = rem_in - jnp.where(m_s1, 1 << BITRES, 0)
+            m_s2 = n1_st & (rem_n1 >= (1 << BITRES))
+            rng, nbt, row_s2 = bc.bits_rn(
+                rng, nbt, m_s2, (segY[:, 0] < 0).astype(_i32), 1)
+            rem_n1 = rem_n1 - jnp.where(m_s2, 1 << BITRES, 0)
+            row0 = jnp.where(row0[..., 0:1] != -1, row0, row_s1)
+        else:
+            rng, nbt, row0 = bc.encode_rn(rng, nbt, has_theta, fl,
+                                          fl + fs, ft)
         itheta_q14 = jnp.where(qn != 1,
                                (itheta * 16384) // jnp.maximum(qn, 1), 0)
         qalloc = jnp.where(split,
@@ -1210,27 +1481,77 @@ def _quant_group(s: _Sched, X, pulses, coded_bands, total_bits_q3,
         sbits = b_post - mbits
         swap = mbits < sbits
 
+        if s.stereo:
+            # merge the stereo root's outcomes into the stored
+            # child-state columns
+            dual_b = b_in // 2
+            mbits = jnp.where(
+                is_st,
+                jnp.where(use_dual, dual_b,
+                          jnp.where(is_n2, mbits_n2, mbits_s)), mbits)
+            sbits = jnp.where(
+                is_st,
+                jnp.where(use_dual, dual_b,
+                          jnp.where(is_n2, 0, sbits_s)), sbits)
+            swap = jnp.where(is_st,
+                             jnp.where(use_dual | is_n2, False, sw_s),
+                             swap)
+            itheta_q14 = jnp.where(
+                is_st, jnp.where(use_dual, 0, itheta_q14_s), itheta_q14)
+            rem_root_st = jnp.where(
+                is_n1, rem_n1,
+                jnp.where(use_dual, rem_in,
+                          rem_in - qalloc_s
+                          - jnp.where(is_n2, sb_n2, 0)))
+            rem_post = jnp.where(is_st, rem_root_st, rem_post)
+            act1 = jnp.where(is_st, is_st & ~is_n1, split)
+            act2 = jnp.where(is_st,
+                             (~is_n1) & (use_dual | ~is_n2), split)
+        else:
+            act1 = split
+            act2 = split
+
         # ---- materialise the coding-order swap into the carried
         # spectrum: when the side half is coded first, physically
         # exchange the halves so the children's static windows hold
         # the right data.  The neighbours of shifted reads/writes are
         # rewritten with their own (unchanged) values.
-        N_q = Nj >> 1
-        rm = jax.lax.dynamic_slice_in_dim(cy["Xg"], x["win"] + N_q,
-                                          NB, axis=1)
-        rp = jax.lax.dynamic_slice_in_dim(cy["Xg"], x["win"] - N_q,
-                                          NB, axis=1)
-        swapped = jnp.where(col0[None, :] < N_q, rm, rp)
-        need_sw = split & swap
-        wv = jnp.where(valid & need_sw[:, None], swapped, seg_raw)
-        Xg_next = jax.lax.dynamic_update_slice(
-            cy["Xg"], wv.astype(dt), (jnp.int32(0), x["win"]))
+        if not s.stereo:
+            N_q = Nj >> 1
+            rm = jax.lax.dynamic_slice_in_dim(cy["Xg"], x["win"] + N_q,
+                                              NB, axis=1)
+            rp = jax.lax.dynamic_slice_in_dim(cy["Xg"], x["win"] - N_q,
+                                              NB, axis=1)
+            swapped = jnp.where(col0[None, :] < N_q, rm, rp)
+            need_sw = split & swap
+            wv = jnp.where(valid & need_sw[:, None], swapped, seg_raw)
+            Xg_next = jax.lax.dynamic_update_slice(
+                cy["Xg"], wv.astype(dt), (jnp.int32(0), x["win"]))
+        else:
+            # generic two-window exchange: mono split halves at
+            # +N/2, stereo root X/Y planes at +Wg — the transformed
+            # values are swapped in the same write
+            cw = jnp.where(is_st, Nj, Nj >> 1)
+            cw_mask = col0[None, :] < cw
+            tr_mask = st_go
+            A_base = jnp.where(valid & tr_mask[:, None], newX, seg_raw)
+            B_base = jnp.where(valid & tr_mask[:, None], newY, segY_raw)
+            sw_st_phys = jnp.where(is_n2, sw_n2, sw_s) & st_go
+            need_sw = jnp.where(is_st, sw_st_phys, split & swap)
+            outA = jnp.where(cw_mask & need_sw[:, None], B_base, A_base)
+            outB = jnp.where(cw_mask & need_sw[:, None], A_base, B_base)
+            Xg_next = jax.lax.dynamic_update_slice(
+                cy["Xg"], outA.astype(dt), (jnp.int32(0), x["win"]))
+            Xg_next = jax.lax.dynamic_update_slice(
+                Xg_next, outB.astype(dt),
+                (jnp.int32(0), x["win"] + x["poff"]))
 
-        # ---- width-1 band: one sign bit (bands.c:904-937)
-        n1_has = is_n1 & act_in & (remaining >= (1 << BITRES))
-        sign = (seg[:, 0] < 0).astype(_i32)
-        rng, nbt, rowN1 = bc.bits_rn(rng, nbt, n1_has, sign, 1)
-        row0 = jnp.where(is_n1, rowN1, row0)
+        # ---- width-1 band: one sign bit (bands.c:904-937), mono
+        if not s.stereo:
+            n1_has = is_n1 & (remaining >= (1 << BITRES))
+            sign = (seg[:, 0] < 0).astype(_i32)
+            rng, nbt, rowN1 = bc.bits_rn(rng, nbt, n1_has, sign, 1)
+            row0 = jnp.where(is_n1, rowN1, row0)
 
         # ---- store this node's state for its children
         def setcol(arr, valv):
@@ -1243,12 +1564,17 @@ def _quant_group(s: _Sched, X, pulses, coded_bands, total_bits_q3,
         cy2["balance"] = balance
         cy2["rem"] = rem_post
         cy2["Xg"] = Xg_next
-        cy2["split_arr"] = setcol(cy["split_arr"], split)
+        cy2["split_arr"] = setcol(cy["split_arr"], act1)
+        cy2["act2_arr"] = setcol(cy["act2_arr"], act2)
         cy2["mbits_arr"] = setcol(cy["mbits_arr"], mbits)
         cy2["sbits_arr"] = setcol(cy["sbits_arr"], sbits)
         cy2["swap_arr"] = setcol(cy["swap_arr"], swap)
         cy2["itheta_arr"] = setcol(cy["itheta_arr"], itheta_q14)
         cy2["snap_arr"] = setcol(cy["snap_arr"], rem_post)
+        if s.stereo:
+            row1 = jnp.where(row1[..., 0:1] != -1, row1, row_u2)
+            row1 = jnp.where(row1[..., 0:1] != -1, row1, row_s2)
+            row2 = jnp.where(row2[..., 0:1] != -1, row2, row_sg)
         rows = jnp.stack([row0, row1, row2], axis=1)   # [B, 3, 4]
         return cy2, rows
 
@@ -1288,37 +1614,19 @@ def _med5(x0, x1, x2, x3, x4):
 _DYN_DEBUG = {}
 
 
-def dynalloc_analysis_batch(bandLogE, oldBandE, effective_bytes,
-                            t: Tables, lm: int, start: int, end: int,
-                            lsb_depth: int, vbr: bool,
-                            constrained_vbr: bool, is_transient):
-    """Returns offsets (boost step counts, [B, nb] int32) for the
-    complexity-0 mono CBR path (bandLogE2 == bandLogE, no LFE, no
-    surround).  importance/spread_weight are not needed (tf analysis
-    and spreading are disabled)."""
-    dt = bandLogE.dtype
-    B, nb = bandLogE.shape
-    widths = (t.e_bands[1:] - t.e_bands[:-1]).astype(np.int64)
-    noise_floor = np.zeros(nb)
-    for i in range(end):
-        noise_floor[i] = (0.0625 * float(t.log_n[i]) + 0.5
-                          + (9 - lsb_depth) - float(t.emeans[i])
-                          + 0.0062 * (i + 5) * (i + 5))
-    nf = jnp.asarray(noise_floor, dt)
-
-    gate = effective_bytes >= 30 + 5 * lm
-    x3 = bandLogE[:, :end]
-    if lm == 0:
-        # at LM==0 the first 8 bands take max(new, old) energies
-        # (celt_encoder.c:1022-1026)
-        k = min(8, end)
-        x3 = x3.at[:, :k].set(jnp.maximum(x3[:, :k], oldBandE[:, :k]))
-    # last rising edge (>.5 dB step)
+def _dyn_follower(x3, nf, last0, end: int):
+    """Per-channel follower (celt_encoder.c:1028-1075): forward/backward
+    envelope + median floors.  x3: [B, end]; last0: [B] carried rising-
+    edge index from the previous channel (libopus quirk: ``last`` is not
+    reset between channels).  Returns (f [B, end], last [B])."""
+    dt = x3.dtype
+    B = x3.shape[0]
     idxs = jnp.arange(end)
     rise = jnp.concatenate(
         [jnp.zeros((B, 1), bool),
          x3[:, 1:] > x3[:, :-1] + jnp.asarray(0.5, dt)], axis=1)
     last = jnp.max(jnp.where(rise, idxs[None, :], 0), axis=1)
+    last = jnp.where(jnp.any(rise, axis=1), last, last0)
     # forward follower
     f = x3[:, 0]
     fw = [f]
@@ -1345,10 +1653,58 @@ def dynalloc_analysis_batch(bandLogE, oldBandE, effective_bytes,
     f = f.at[:, end - 2].set(jnp.maximum(f[:, end - 2], tmp))
     f = f.at[:, end - 1].set(jnp.maximum(f[:, end - 1], tmp))
     f = jnp.maximum(f, nf[None, :end])
+    return f, last
+
+
+def dynalloc_analysis_batch(bandLogE, oldBandE, effective_bytes,
+                            t: Tables, lm: int, start: int, end: int,
+                            lsb_depth: int, vbr: bool,
+                            constrained_vbr: bool, is_transient):
+    """Returns offsets (boost step counts, [B, nb] int32) for the
+    complexity-0 CBR path (bandLogE2 == bandLogE, no LFE, no surround).
+    bandLogE/oldBandE: [B, nb] (mono) or [B, C, nb] (stereo,
+    celt_encoder.c:1076-1086 channel coupling).  importance /
+    spread_weight are not needed (tf analysis and spreading are
+    disabled)."""
+    dt = bandLogE.dtype
+    if bandLogE.ndim == 2:
+        bandLogE = bandLogE[:, None, :]
+        oldBandE = oldBandE[:, None, :]
+    B, C, nb = bandLogE.shape
+    widths = (t.e_bands[1:] - t.e_bands[:-1]).astype(np.int64)
+    noise_floor = np.zeros(nb)
+    for i in range(end):
+        noise_floor[i] = (0.0625 * float(t.log_n[i]) + 0.5
+                          + (9 - lsb_depth) - float(t.emeans[i])
+                          + 0.0062 * (i + 5) * (i + 5))
+    nf = jnp.asarray(noise_floor, dt)
+
+    gate = effective_bytes >= 30 + 5 * lm
+    fs = []
+    last = jnp.zeros((B,), jnp.int32)
+    for ch in range(C):
+        x3 = bandLogE[:, ch, :end]
+        if lm == 0:
+            # at LM==0 the first 8 bands take max(new, old) energies
+            # (celt_encoder.c:1022-1026)
+            k = min(8, end)
+            x3 = x3.at[:, :k].set(
+                jnp.maximum(x3[:, :k], oldBandE[:, ch, :k]))
+        f, last = _dyn_follower(x3, nf, last, end)
+        fs.append(f)
 
     # NOTE: the subtraction uses the *raw* bandLogE, not the LM==0
     # max-patched x3 (celt_encoder.c:1100 uses bandLogE, not bandLogE3)
-    fol = jnp.maximum(jnp.asarray(0.0, dt), bandLogE[:, :end] - f)
+    if C == 2:
+        f1 = jnp.maximum(fs[1], fs[0] - 4.0)
+        f0 = jnp.maximum(fs[0], f1 - 4.0)
+        fol = jnp.asarray(0.5, dt) * (
+            jnp.maximum(jnp.asarray(0.0, dt), bandLogE[:, 0, :end] - f0)
+            + jnp.maximum(jnp.asarray(0.0, dt),
+                          bandLogE[:, 1, :end] - f1))
+    else:
+        fol = jnp.maximum(jnp.asarray(0.0, dt),
+                          bandLogE[:, 0, :end] - fs[0])
     if (not vbr) or constrained_vbr:
         fol = jnp.where(is_transient[:, None], fol,
                         jnp.asarray(0.5, dt) * fol)
@@ -1361,14 +1717,14 @@ def dynalloc_analysis_batch(bandLogE, oldBandE, effective_bytes,
     fol = fol * jnp.asarray(scale, dt)[None, :]
     fol = jnp.minimum(fol, jnp.asarray(4.0, dt))
     _DYN_DEBUG.clear()
-    _DYN_DEBUG.update(f=f, fol=fol, x3=x3, last=last)
+    _DYN_DEBUG.update(f=fs, fol=fol, last=last)
 
     offsets = jnp.zeros((B, nb), _i32)
     tot_boost = jnp.zeros((B,), _i32)
     stopped = jnp.zeros((B,), bool)
     cap_gate = (not vbr) or constrained_vbr   # (&& !transient handled below)
     for i in range(start, end):
-        w = int(widths[i]) << lm             # C * (eband width) << LM
+        w = C * int(widths[i]) << lm         # C * (eband width) << LM
         if w < 6:
             boost = fol[:, i].astype(_i32)
             boost_bits = boost * w << BITRES
@@ -1395,30 +1751,129 @@ def dynalloc_analysis_batch(bandLogE, oldBandE, effective_bytes,
     return offsets
 
 
-def alloc_trim_batch(bandLogE, equiv_rate, end: int, exact: bool):
-    """alloc_trim_analysis (celt_encoder.c:797-887) for mono with
-    tf_estimate == 0 and no surround; returns trim index [B]."""
+def alloc_trim_batch(bandLogE, equiv_rate, end: int, exact: bool,
+                     X=None, Y=None, lm: int = 3, intensity=None,
+                     stereo_saving=None):
+    """alloc_trim_analysis (celt_encoder.c:797-887) with
+    tf_estimate == 0 and no surround.
+
+    Mono: bandLogE [B, nb] -> trim index [B].
+    Stereo: bandLogE [B, C, nb] plus the normalised spectra X/Y
+    ([B, N]), per-stream ``intensity`` band and carried
+    ``stereo_saving`` -> (trim [B], stereo_saving' [B])."""
     dt = bandLogE.dtype
-    trim = jnp.full(bandLogE.shape[:1], 5.0, dt)
+    stereo = bandLogE.ndim == 3
+    B = bandLogE.shape[0]
+    trim = jnp.full((B,), 5.0, dt)
     frac = (equiv_rate - 64000) >> 10
     trim = jnp.where(equiv_rate < 64000, jnp.asarray(4.0, dt),
                      jnp.where(equiv_rate < 80000,
                                4.0 + (1.0 / 16) * frac.astype(dt), trim))
-    w = jnp.asarray(np.arange(end - 1) * 2 + 2 - end,
-                    dt)     # (2 + 2*i - end)
-    diff = _seq_sum(bandLogE[:, :end - 1] * w[None, :], exact)
-    diff = diff / (end - 1)
+    if stereo:
+        t = make_tables(lm, 2)
+        eb = t.e_bands
+        # per-band X.Y correlations over the first `intensity` bands
+        nb8 = max(8, 1)
+        parts = []
+        for i in range(min(int(intensity_max_bands(end)), end)):
+            lo = int(eb[i]) << lm
+            hi = int(eb[i + 1]) << lm
+            parts.append(_seq_sum(X[:, lo:hi] * Y[:, lo:hi], exact))
+        partial = jnp.stack(parts, axis=1)          # [B, nbands8+]
+        sum8 = jnp.asarray(1.0 / 8, dt) * _seq_sum(partial[:, :8], exact)
+        sum8 = jnp.minimum(jnp.asarray(1.0, dt), jnp.abs(sum8))
+        minXC = sum8
+        for i in range(8, partial.shape[1]):
+            use = i < intensity
+            minXC = jnp.where(use,
+                              jnp.minimum(minXC, jnp.abs(partial[:, i])),
+                              minXC)
+        minXC = jnp.minimum(jnp.asarray(1.0, dt), jnp.abs(minXC))
+        logXC = jnp.log2(1.001 - sum8 * sum8)
+        logXC2 = jnp.maximum(0.5 * logXC,
+                             jnp.log2(1.001 - minXC * minXC))
+        trim = trim + jnp.maximum(jnp.asarray(-4.0, dt),
+                                  jnp.asarray(0.75, dt) * logXC)
+        stereo_saving = jnp.minimum(stereo_saving + 0.25,
+                                    jnp.asarray(-0.5, dt) * logXC2)
+        C = bandLogE.shape[1]
+        w = jnp.asarray(np.arange(end - 1) * 2 + 2 - end, dt)
+        diff = (_seq_sum(bandLogE[:, 0, :end - 1] * w[None, :], exact)
+                + _seq_sum(bandLogE[:, 1, :end - 1] * w[None, :], exact))
+        diff = diff / (C * (end - 1))
+    else:
+        w = jnp.asarray(np.arange(end - 1) * 2 + 2 - end,
+                        dt)     # (2 + 2*i - end)
+        diff = _seq_sum(bandLogE[:, :end - 1] * w[None, :], exact)
+        diff = diff / (end - 1)
     trim = trim - jnp.clip((diff + 1.0) / 6, -2.0, 2.0)
     trim_index = jnp.floor(0.5 + trim).astype(_i32)
-    return jnp.clip(trim_index, 0, 10)
+    trim_index = jnp.clip(trim_index, 0, 10)
+    if stereo:
+        return trim_index, stereo_saving
+    return trim_index
+
+
+def intensity_max_bands(end: int) -> int:
+    """Static upper bound for the per-stream intensity band index
+    (hysteresis output is clipped to [start, end])."""
+    return end
+
+
+INTENSITY_THRESHOLDS = np.asarray(
+    [1, 2, 3, 4, 5, 6, 7, 8, 16, 24, 36, 44, 50, 56, 62, 67, 72, 79, 88,
+     106, 134], np.int32)
+INTENSITY_HISTERESIS = np.asarray(
+    [1, 1, 1, 1, 1, 1, 1, 2, 2, 2, 2, 2, 2, 2, 3, 3, 4, 5, 6, 8, 8],
+    np.int32)
+
+
+def hysteresis_decision_batch(val, thresholds, hysteresis, prev):
+    """bands.c:69-86 vectorized: val [B] (same units as thresholds),
+    prev [B] int32 -> [B] int32."""
+    n = len(thresholds)
+    th = jnp.asarray(thresholds, val.dtype)
+    hy = jnp.asarray(hysteresis, val.dtype)
+    i = jnp.full(prev.shape, n, _i32)
+    stopped = jnp.zeros(prev.shape, bool)
+    for k in range(n):
+        hit = ~stopped & (val < th[k])
+        i = jnp.where(hit, k, i)
+        stopped = stopped | hit
+    gt = (i > prev) & (val < th[jnp.minimum(prev, n - 1)]
+                       + hy[jnp.minimum(prev, n - 1)])
+    lt = (i < prev) & (val > th[jnp.maximum(prev - 1, 0)]
+                       - hy[jnp.maximum(prev - 1, 0)])
+    keep = (gt & (prev < n)) | (lt & (prev > 0))
+    return jnp.where(keep, prev, i)
+
+
+def stereo_analysis_batch(X, Y, lm: int, exact: bool):
+    """celt_encoder.c:889-919: dual-stereo decision over the first 13
+    bands.  X/Y: [B, N] normalised spectra -> [B] bool."""
+    t = make_tables(lm, 2)
+    hi = int(t.e_bands[13]) << lm
+    dt = X.dtype
+    L = X[:, :hi]
+    R = Y[:, :hi]
+    sumLR = jnp.asarray(1e-15, dt) + _seq_sum(
+        jnp.abs(L) + jnp.abs(R), exact)
+    sumMS = jnp.asarray(1e-15, dt) + _seq_sum(
+        jnp.abs(L + R) + jnp.abs(L - R), exact)
+    sumMS = jnp.asarray(0.707107, dt) * sumMS
+    thetas = 13 - (8 if lm <= 1 else 0)
+    bins = int(t.e_bands[13]) << (lm + 1)
+    return (bins + thetas) * sumMS > bins * sumLR
 
 
 # ---------------------------------------------------------------------------
 # Top level: complexity-0 mono CBR plan from a normalised spectrum
 
 class CeltBatchState(NamedTuple):
-    """Carried per-stream encoder state (pytree of [B,...] arrays)."""
-    oldBandE: jnp.ndarray       # [B, nb]
+    """Carried per-stream encoder state (pytree of [B,...] arrays).
+    Stereo lanes use [B, 2, nb] energy memories plus the intensity
+    hysteresis / stereo_saving carries (None on mono)."""
+    oldBandE: jnp.ndarray       # [B, nb] / [B, 2, nb]
     oldLogE: jnp.ndarray
     oldLogE2: jnp.ndarray
     energyError: jnp.ndarray
@@ -1426,6 +1881,8 @@ class CeltBatchState(NamedTuple):
     spec_avg: jnp.ndarray       # [B]
     lastCodedBands: jnp.ndarray  # [B] int32
     consec_transient: jnp.ndarray  # [B] int32
+    intensity: object = None       # [B] int32 (stereo)
+    stereo_saving: object = None   # [B] float (stereo)
 
 
 def init_state(B: int, nb: int = 21, dtype=jnp.float32) -> CeltBatchState:
@@ -1522,7 +1979,7 @@ def plan_from_spectrum(X, bandLogE, state: CeltBatchState, nbytes,
 
     bits_q3 = total_bits_q3 - bc.tell_frac(c) - 1
     signal_bw = jnp.full((B,), end - 1, _i32)
-    c, pulses, ebits, fine_pri, coded_bands, balance = \
+    c, pulses, ebits, fine_pri, coded_bands, balance, _, _ = \
         compute_allocation_batch(c, t, offsets_q3, trim, bits_q3, lm,
                                  start, end, state.lastCodedBands,
                                  signal_bw)
@@ -1566,6 +2023,172 @@ def tell_of(c: PlanCoder):
 plan_from_spectrum_jit = jax.jit(
     plan_from_spectrum,
     static_argnames=("lm", "start", "end", "lsb_depth", "exact"))
+
+
+def init_state_stereo(B: int, nb: int = 21,
+                      dtype=jnp.float32) -> CeltBatchState:
+    z = jnp.zeros((B, 2, nb), dtype)
+    return CeltBatchState(
+        oldBandE=z, oldLogE=z - 28.0, oldLogE2=z - 28.0,
+        energyError=z, delayedIntra=jnp.ones((B,), dtype),
+        spec_avg=jnp.zeros((B,), dtype),
+        lastCodedBands=jnp.zeros((B,), _i32),
+        consec_transient=jnp.zeros((B,), _i32),
+        intensity=jnp.zeros((B,), _i32),
+        stereo_saving=jnp.zeros((B,), dtype))
+
+
+def plan_from_spectrum_stereo(X, Y, bandLogE, bandE, state: CeltBatchState,
+                              nbytes, silence, bitrate, lm: int = 3,
+                              start: int = 0, end: int = 21,
+                              lsb_depth: int = 24, exact: bool = False,
+                              disable_inv: bool = False):
+    """All post-transform encoder stages for stereo/CBR/complexity-0
+    (celt_encoder.c:1431-2356 with C == 2: intensity/dual-stereo
+    decisions, C-doubled energy coding, the stereo band tree).
+
+    X/Y: [B, N] unit-normalised spectra; bandLogE: [B, 2, nb] log
+    energies; bandE: [B, 2, nb] raw band amplitudes (intensity_stereo
+    weights); nbytes: [B] int32 CBR budget; silence: [B] bool.
+    Returns (PlanCoder, new_state)."""
+    C = 2
+    t = make_tables(lm, C)
+    B, _, nb = bandLogE.shape
+    dt = bandLogE.dtype
+    c = bc.plan_init(B, MAX_OPS)
+    total_bits = nbytes * 8
+    nb_available = nbytes
+
+    # silence flag (tell==1 → always coded), then the tell jump
+    c = bc.bit_logp(c, jnp.ones((B,), bool), silence.astype(_i32), 15)
+    c = c._replace(nbits_total=jnp.where(
+        silence, c.nbits_total + (total_bits - tell_of(c)),
+        c.nbits_total))
+
+    # prefilter off at complexity<5 (celt_encoder.c:1694-1756 gate)
+    c = bc.bit_logp(c, bc.tell(c) + 16 <= total_bits, 0, 1)
+    # transient off at complexity<1 (celt_encoder.c:844-851)
+    if lm > 0:
+        trans_room = bc.tell(c) + 3 <= total_bits
+        c = bc.bit_logp(c, trans_room, 0, 3)
+        transient_got_disabled = (~trans_room).astype(_i32)
+    else:
+        transient_got_disabled = jnp.ones((B,), _i32)
+
+    # temporal VBR follower over both channels (celt_encoder.c:1860-75)
+    follow = jnp.full((B,), -10.0, dt)
+    frame_avg = jnp.zeros((B,), dt)
+    for i in range(start, end):
+        follow = jnp.maximum(follow - 1.0, bandLogE[:, 0, i])
+        follow = jnp.maximum(follow, bandLogE[:, 1, i])
+        frame_avg = frame_avg + follow
+    frame_avg = frame_avg / (end - start)
+    temporal_vbr = jnp.clip(frame_avg - state.spec_avg, -1.5, 3.0)
+    spec_avg = state.spec_avg + 0.02 * temporal_vbr
+
+    # dynalloc analysis on the pre-feedback energies
+    offsets_steps = dynalloc_analysis_batch(
+        bandLogE, state.oldBandE, nbytes, t, lm, start, end, lsb_depth,
+        vbr=False, constrained_vbr=False,
+        is_transient=jnp.zeros((B,), bool))
+
+    # energy-error feedback (celt_encoder.c:1939-1945)
+    fb = jnp.abs(bandLogE - state.oldBandE) < 2.0
+    bandLogE_fb = bandLogE - jnp.where(
+        fb, state.energyError * jnp.asarray(0.25, dt), 0)
+
+    # coarse energy (single-pass; intra decision from state)
+    dist = jnp.minimum(
+        200.0, jnp.sum((bandLogE_fb - state.oldBandE) ** 2,
+                       axis=(1, 2)))
+    intra = (state.delayedIntra > 2 * C * (end - start)) \
+        & (nb_available > (end - start) * C)
+    c, oldBandE, error = coarse_energy(
+        c, bandLogE_fb, state.oldBandE, total_bits, intra, nb_available,
+        lm, start, end)
+    delayedIntra = jnp.where(
+        intra, dist,
+        jnp.asarray(PRED_COEF[lm] * PRED_COEF[lm], dt)
+        * state.delayedIntra + dist)
+
+    c = tf_encode_zeros(c, total_bits, lm, start, end)
+    c = spread_decision_c0(c, total_bits)
+
+    total_bits_q3 = total_bits << BITRES
+    c, offsets_q3, total_boost = dynalloc_coding(
+        c, offsets_steps, t.caps, total_bits_q3, lm, C, start, end,
+        t.e_bands)
+
+    # intensity hysteresis + dual-stereo decision
+    # (celt_encoder.c:2051-2075)
+    equiv_rate = (nbytes * 8 * 50 << (3 - lm)) \
+        - (40 * C + 20) * ((400 >> lm) - 50)
+    equiv_rate = jnp.minimum(
+        equiv_rate, bitrate - (40 * C + 20) * ((400 >> lm) - 50))
+    if lm != 0:
+        dual_stereo = stereo_analysis_batch(X, Y, lm, exact).astype(_i32)
+    else:
+        dual_stereo = jnp.zeros((B,), _i32)
+    intensity = hysteresis_decision_batch(
+        (equiv_rate.astype(dt)) / 1000.0, INTENSITY_THRESHOLDS,
+        INTENSITY_HISTERESIS, state.intensity)
+    intensity = jnp.clip(intensity, start, end)
+
+    trim, stereo_saving = alloc_trim_batch(
+        bandLogE_fb, equiv_rate, end, exact, X=X, Y=Y, lm=lm,
+        intensity=intensity, stereo_saving=state.stereo_saving)
+    fits = bc.tell_frac(c) + (6 << BITRES) <= total_bits_q3 - total_boost
+    trim = jnp.where(fits, trim, 5)
+    stereo_saving = jnp.where(fits, stereo_saving, state.stereo_saving)
+    c = bc.icdf(c, fits, trim, np.asarray(TRIM_ICDF, np.int32), 7)
+
+    bits_q3 = total_bits_q3 - bc.tell_frac(c) - 1
+    signal_bw = jnp.full((B,), end - 1, _i32)
+    (c, pulses, ebits, fine_pri, coded_bands, balance, intensity,
+     dual_stereo) = compute_allocation_batch(
+        c, t, offsets_q3, trim, bits_q3, lm, start, end,
+        state.lastCodedBands, signal_bw, C=C, intensity=intensity,
+        dual_stereo=dual_stereo)
+    lastCodedBands = jnp.where(
+        state.lastCodedBands == 0, coded_bands,
+        jnp.minimum(state.lastCodedBands + 1,
+                    jnp.maximum(state.lastCodedBands - 1, coded_bands)))
+
+    c, oldBandE, error = fine_energy(c, oldBandE, error, ebits, start,
+                                     end)
+    c = quant_all_bands_batch(
+        c, X, pulses, coded_bands, nbytes * (8 << BITRES), balance, t,
+        lm, start, end, exact, Y=Y, intensity=intensity,
+        dual_stereo=dual_stereo, bandE=bandE, disable_inv=disable_inv)
+    bits_left = nbytes * 8 - bc.tell(c)
+    c, oldBandE, error = energy_finalise(c, oldBandE, error, ebits,
+                                         fine_pri, bits_left, start, end)
+
+    # stack the traced rows into the host lane's [B, n_slots, 4] array
+    c = bc.finalize(c)
+
+    energyError = jnp.clip(error, -0.5, 0.5)
+    oldBandE = jnp.where(silence[:, None, None],
+                         jnp.asarray(-28.0, dt), oldBandE)
+    new_state = CeltBatchState(
+        oldBandE=oldBandE,
+        oldLogE2=state.oldLogE,
+        oldLogE=oldBandE,
+        energyError=energyError,
+        delayedIntra=delayedIntra,
+        spec_avg=spec_avg,
+        lastCodedBands=lastCodedBands,
+        consec_transient=jnp.where(transient_got_disabled == 1,
+                                   state.consec_transient + 1, 0),
+        intensity=intensity,
+        stereo_saving=stereo_saving)
+    return c, new_state
+
+
+plan_from_spectrum_stereo_jit = jax.jit(
+    plan_from_spectrum_stereo,
+    static_argnames=("lm", "start", "end", "lsb_depth", "exact",
+                     "disable_inv"))
 
 
 def cbr_bytes(bitrate: int, frame_size: int, fs: int,
@@ -1635,4 +2258,64 @@ def celt_encode_batch_plan(pcm, st: CeltStreamState, nbytes, bitrate,
 
 celt_encode_batch_plan_jit = jax.jit(
     celt_encode_batch_plan,
+    static_argnames=("lm", "lsb_depth", "exact"))
+
+
+def init_stream_state_stereo(B: int, dtype=jnp.float32) -> CeltStreamState:
+    m = standard_mode()
+    return CeltStreamState(
+        celt=init_state_stereo(B, dtype=dtype),
+        preemph_mem=jnp.zeros((B, 2), dtype),
+        in_mem=jnp.zeros((B, 2, m.overlap), dtype),
+        overlap_max=jnp.zeros((B,), dtype))
+
+
+def celt_encode_batch_plan_stereo(pcm, st: CeltStreamState, nbytes,
+                                  bitrate, lm: int = 3,
+                                  lsb_depth: int = 24,
+                                  exact: bool = False):
+    """One frame for a batch of *stereo* streams: per-channel
+    preemphasis/MDCT/band energies (celt.batch matmuls over the
+    flattened [2B] channel axis) and the stereo symbol-planning pass.
+    pcm: [B, 2, N] in [-1, 1].  Returns (PlanCoder, new_state)."""
+    from .batch import (band_energies_batch, mdct_forward_batch,
+                       normalise_batch, preemphasis_batch)
+    m = standard_mode()
+    dt = pcm.dtype
+    B, C, N = pcm.shape
+    ov = m.overlap
+
+    # silence detection over both channels (celt_encoder.c:1611-1628)
+    npcm = N - ov
+    s1 = st.overlap_max if npcm == 0 else jnp.maximum(
+        st.overlap_max, jnp.max(jnp.abs(pcm[:, :, :npcm]), axis=(1, 2)))
+    new_ovm = jnp.max(jnp.abs(pcm[:, :, npcm:]), axis=(1, 2)) \
+        if N > npcm else jnp.zeros((B,), dt)
+    sample_max = jnp.maximum(s1, new_ovm)
+    silence = sample_max <= (1.0 / (1 << lsb_depth))
+
+    pcm2 = pcm.reshape(B * C, N)
+    sig, pmem2 = preemphasis_batch(pcm2, st.preemph_mem.reshape(B * C))
+    inb = jnp.concatenate([st.in_mem.reshape(B * C, ov), sig], axis=1)
+    in_mem2 = inb[:, N:N + ov].reshape(B, C, ov)
+    spec = mdct_forward_batch(inb, m.short_mdct_size << lm)
+    bandE2 = band_energies_batch(spec, lm)          # [2B, nb]
+    bandLogE2 = jnp.log2(bandE2) - jnp.asarray(EMEANS[:21], dt)[None, :]
+    Xn = normalise_batch(spec, bandE2, lm)          # [2B, Nf]
+    Nf = Xn.shape[1]
+    Xn = Xn.reshape(B, C, Nf)
+    bandE = bandE2.reshape(B, C, -1)
+    bandLogE = bandLogE2.reshape(B, C, -1)
+
+    c, celt2 = plan_from_spectrum_stereo(
+        Xn[:, 0].astype(dt), Xn[:, 1].astype(dt), bandLogE.astype(dt),
+        bandE.astype(dt), st.celt, nbytes, silence, bitrate, lm=lm,
+        lsb_depth=lsb_depth, exact=exact)
+    return c, CeltStreamState(celt=celt2,
+                              preemph_mem=pmem2.reshape(B, C),
+                              in_mem=in_mem2, overlap_max=new_ovm)
+
+
+celt_encode_batch_plan_stereo_jit = jax.jit(
+    celt_encode_batch_plan_stereo,
     static_argnames=("lm", "lsb_depth", "exact"))

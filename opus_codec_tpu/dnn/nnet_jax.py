@@ -27,14 +27,45 @@ __all__ = ["JaxLinear", "from_numpy", "dense", "gru", "glu",
            "conv1d", "conv1d_init", "activation"]
 
 
-class JaxLinear(NamedTuple):
+@jax.tree_util.register_pytree_node_class
+class JaxLinear:
     """Dense affine layer on device; mirrors LinearLayer.linear
-    (nnet_arch.h:120-152).  ``quantized_input`` is trace-static."""
-    W: jnp.ndarray                      # [out, in]
-    bias: Optional[jnp.ndarray]         # [out] or None
-    diag: Optional[jnp.ndarray]         # [3N] or None (GRU recurrent)
-    scale: Optional[jnp.ndarray]        # [out] or None (int8 path)
-    quantized_input: bool
+    (nnet_arch.h:120-152).  ``quantized_input`` is trace-static: it is
+    pytree *aux data*, so JaxLinear pytrees can be passed as jit
+    arguments (e.g. TP-sharded models, parallel/tp.py) without tracing
+    the flag."""
+
+    __slots__ = ("W", "bias", "diag", "scale", "quantized_input")
+
+    def __init__(self, W, bias=None, diag=None, scale=None,
+                 quantized_input=False):
+        self.W = W                      # [out, in]
+        self.bias = bias                # [out] or None
+        self.diag = diag                # [3N] or None (GRU recurrent)
+        self.scale = scale              # [out] or None (int8 path)
+        self.quantized_input = bool(quantized_input)
+
+    def tree_flatten(self):
+        return ((self.W, self.bias, self.diag, self.scale),
+                self.quantized_input)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        W, bias, diag, scale = children
+        obj = cls.__new__(cls)
+        obj.W = W
+        obj.bias = bias
+        obj.diag = diag
+        obj.scale = scale
+        obj.quantized_input = aux
+        return obj
+
+    def __repr__(self):
+        return (f"JaxLinear(W={getattr(self.W, 'shape', None)}, "
+                f"bias={self.bias is not None}, "
+                f"diag={self.diag is not None}, "
+                f"scale={self.scale is not None}, "
+                f"quantized_input={self.quantized_input})")
 
 
 def from_numpy(layer: LinearLayer, dtype=jnp.float32) -> JaxLinear:
