@@ -206,6 +206,11 @@ def main():
     for s in range(steps):
         futs.append(ex.submit(jax.device_put, frames[(s + 1) % 4]))
         inflight.append(enc.encode_device_packed(futs.popleft().result()))
+        # start the oldest payload's device->host copy now so it
+        # overlaps the next upload/compute instead of serialising
+        # behind them at np.asarray time
+        if len(inflight) > LAG:
+            inflight[0].copy_to_host_async()
         if len(inflight) > LAG:
             payload = np.asarray(inflight.popleft())
             pkts, _ = enc.split_payload(payload)

@@ -45,6 +45,29 @@ def test_sp_encode_frames_matches_per_frame():
             assert int(rngs2[b, fi]) == ref[b][fi][1], (b, fi)
 
 
+def test_int16_api_lane_matches_float():
+    """int16 PCM (the reference opus_encode() input layout,
+    encoder.rs:80-126) must produce the identical packets as
+    pre-scaled float input on both the per-frame and the SP lanes —
+    the dtype conversion happens on device to halve tunnel traffic."""
+    B, T, n = 2, 3, 120
+    pcm = _pcm_frames(B, T, n, seed=7)
+    pcm_i16 = np.clip(pcm * 32768.0, -32768, 32767).astype(np.int16)
+    pcm_f = pcm_i16.astype(np.float32) / 32768.0
+    ef = CeltBatchEncoder(B, bitrate=96000, frame_size=n)
+    want = [ef.encode_packed(pcm_f[:, fi]) for fi in range(T)]
+    ei = CeltBatchEncoder(B, bitrate=96000, frame_size=n)
+    for fi in range(T):
+        pkts, rngs = ei.encode_packed(pcm_i16[:, fi])
+        assert pkts == want[fi][0]
+        np.testing.assert_array_equal(rngs, want[fi][1])
+    es = CeltBatchEncoder(B, bitrate=96000, frame_size=n)
+    pkts2, rngs2 = es.encode_frames(pcm_i16)
+    for fi in range(T):
+        assert [pkts2[b][fi] for b in range(B)] == want[fi][0]
+        np.testing.assert_array_equal(rngs2[:, fi], want[fi][1])
+
+
 def test_dp_sharded_encoder_runs_on_mesh():
     """DP: the batched planner under XLA SPMD over the 8-device mesh
     produces the same packets as the single-device path."""
