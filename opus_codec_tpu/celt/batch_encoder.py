@@ -997,33 +997,47 @@ def _pvq_search_node(Xseg, K, valid, Nj, kmax_j, exact: bool):
     neg_inf = jnp.asarray(-jnp.inf, dt)
     iters = jnp.minimum(kmax_j, Nj + 3)
 
+    # The pulse loop runs TRANSPOSED ([NB, B]: batch on the 128-lane
+    # minor axis, width on sublanes) — with the natural [B, NB] layout
+    # the tiny width (<=32 here) occupies the lane axis at <=25%
+    # utilisation and every argmax is a lane-masked reduce.  Same ops,
+    # same order, first-max argmax either way => bit-identical results.
+    Xt = X.T
+    validt = valid.T
+    y2t = y2.T
+    iyt = iy.T
+
+    # scalar-counter cond: the loop runs max(pulses_left) iterations
+    # either way, but a scalar compare avoids re-reducing the [B]
+    # pulses_left vector (a cross-batch barrier) every pulse
     def cond(carry):
-        return jnp.any(carry[4] > 0)
+        return carry[5] > 0
 
     def one_pulse(carry):
-        iy, y2, xy, yy, left = carry
+        iyt, y2t, xy, yy, left, n_it = carry
         go = left > 0
         yy1 = yy + 1.0
-        rxy = xy[:, None] + X
-        ryy = yy1[:, None] + y2
-        ratio = jnp.where(valid, (rxy * rxy) / ryy, neg_inf)
-        best = jnp.argmax(ratio, axis=-1)
-        oh = jnp.arange(NB)[None, :] == best[:, None]
-        bx = jnp.sum(jnp.where(oh, X, 0.0), axis=1)
-        by = jnp.sum(jnp.where(oh, y2, 0.0), axis=1)
+        rxy = xy[None, :] + Xt
+        ryy = yy1[None, :] + y2t
+        ratio = jnp.where(validt, (rxy * rxy) / ryy, neg_inf)
+        best = jnp.argmax(ratio, axis=0)
+        oh = jnp.arange(NB)[:, None] == best[None, :]
+        bx = jnp.sum(jnp.where(oh, Xt, 0.0), axis=0)
+        by = jnp.sum(jnp.where(oh, y2t, 0.0), axis=0)
         xy2 = jnp.where(go, xy + bx, xy)
         yy2 = jnp.where(go, yy1 + by, yy)
-        onehot_b = oh & go[:, None]
-        y2 = y2 + jnp.where(onehot_b, 2.0, 0.0)
-        iy = iy + onehot_b.astype(_i32)
-        return iy, y2, xy2, yy2, left - go.astype(_i32)
+        onehot_b = oh & go[None, :]
+        y2t = y2t + jnp.where(onehot_b, 2.0, 0.0)
+        iyt = iyt + onehot_b.astype(_i32)
+        return iyt, y2t, xy2, yy2, left - go.astype(_i32), n_it - 1
 
     body = one_pulse
 
     pulses_left = jnp.minimum(pulses_left, iters)   # loop-count bound
-    iy, y2, xy, yy, _ = jax.lax.while_loop(
-        cond, body, (iy, y2, xy, yy, pulses_left))
-    return jnp.where(sign, -iy, iy)
+    n_it = jnp.max(pulses_left)
+    iyt, y2t, xy, yy, _, _ = jax.lax.while_loop(
+        cond, body, (iyt, y2t, xy, yy, pulses_left, n_it))
+    return jnp.where(sign, -iyt.T, iyt.T)
 
 
 @lru_cache(maxsize=None)
