@@ -14,10 +14,11 @@ Behavioural parity: /root/reference/opus/celt/celt_decoder.c:970-1365
 (exp_rotation, normalisation), cwrs.c:605-630 (cwrsi).  The scalar
 ``celt.decoder.CeltDecoder`` is the tested ground truth.
 
-Scope (round 2): mono, long blocks, time_divide == 0 (tf_res <= 0 with
-no halving, i.e. tf_res == 0 everywhere), no transient frames — the
-full configuration space of the batched encoder plus low-complexity
-reference streams.  Short-block/tf variants are the next milestone.
+Scope: mono; transient/short-block frames, per-band tf_res (time_divide
+/ longBlocks variants), anti-collapse and the decoder postfilter are all
+covered since round 3.  Stereo decode (C == 2 band tree, intensity /
+dual-stereo resynthesis) is the remaining gap — stereo packets fall
+back to the scalar decoder.
 """
 
 from __future__ import annotations

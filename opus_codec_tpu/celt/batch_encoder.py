@@ -13,9 +13,13 @@ Behavioural parity: /root/reference/opus/celt/celt_encoder.c:1431-2356
 tree). The scalar modules in this package are the tested ground truth;
 on a float64 backend this planner reproduces their bitstreams exactly.
 
-Scope (round 2): mono, 20 ms (LM=3), CBR, complexity-0 decision set
-(no transient/prefilter/tf-analysis/spreading — all coded as their
+Scope: mono and stereo (round 4: compute_theta/intensity/dual-stereo
+band tree), 20 ms (LM=3), CBR, complexity-0 decision set (no
+transient/prefilter/tf-analysis/spreading — all coded as their
 low-complexity values, exactly as the scalar encoder at complexity 0).
+Round 5 adds the default-quality decision set behind ``complexity``:
+transient analysis + short blocks, tf_analysis/tf_encode and
+spreading_decision (see ``plan_from_spectrum``'s complexity arg).
 """
 
 from __future__ import annotations
@@ -999,9 +1003,13 @@ def _pvq_search_node(Xseg, K, valid, Nj, kmax_j, exact: bool):
 
     # The pulse loop runs TRANSPOSED ([NB, B]: batch on the 128-lane
     # minor axis, width on sublanes) — with the natural [B, NB] layout
-    # the tiny width (<=32 here) occupies the lane axis at <=25%
-    # utilisation and every argmax is a lane-masked reduce.  Same ops,
-    # same order, first-max argmax either way => bit-identical results.
+    # a narrow width occupies the lane axis at low utilisation and
+    # every argmax is a lane-masked reduce.  Same ops, same order,
+    # first-max argmax either way => bit-identical results.  Node
+    # widths: mono schedules pad to <=32; stereo groups reach 144
+    # (wide no-split leaves appear whenever a band's bits stay under
+    # the split threshold).  With B >= 1024 on the lane axis the
+    # transposed form stays the better layout even for those.
     Xt = X.T
     validt = valid.T
     y2t = y2.T
