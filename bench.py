@@ -1,6 +1,10 @@
 #!/usr/bin/env python
 """Benchmark: END-TO-END batched CELT encode — PCM in, valid packets out.
 
+Headline config (round 5): the BASELINE.json north-star unit — 48 kHz
+STEREO, 20 ms frames, CBR — measured end-to-end and device-side; the
+mono lane from earlier rounds is reported as secondary fields.
+
 Measures the fully device-resident batched encoder on the live
 accelerator: device symbol planning (preemphasis, MDCT, band energies,
 coarse/fine energy quantization, tf/spread/dynalloc/trim coding,
@@ -146,101 +150,114 @@ def main():
                     "lane (numpy CeltEncoder), not the accelerator path",
         }))
         return
-    bitrate = 64000
+    bitrate = int(os.environ.get("BENCH_BITRATE", "64000"))
+    complexity = int(os.environ.get("BENCH_COMPLEXITY", "0"))
     N = 960
 
-    enc = CeltBatchEncoder(B, bitrate=bitrate)
-    rng = np.random.default_rng(0)
-    t = np.arange(N) / 48000.0
-    freqs = 100.0 + rng.uniform(0, 4000, size=(B, 1))
-    frames = []
-    for k in range(4):
-        ph = (t[None, :] + k * 0.02) * freqs
-        pcm = 11000 * np.sin(2 * np.pi * ph) \
-            + 1600 * rng.standard_normal((B, N))
-        # int16 input — the reference opus_encode() API lane
-        frames.append(np.clip(pcm, -32768, 32767).astype(np.int16))
+    def run_lane(channels, B, steps, measure_tunnel=False):
+        """One config's bench: returns (e2e_rtf or None, device_rtf,
+        upload_MBps or None)."""
+        enc = CeltBatchEncoder(B, bitrate=bitrate, channels=channels,
+                               complexity=complexity)
+        rng = np.random.default_rng(0)
+        t = np.arange(N) / 48000.0
+        freqs = 100.0 + rng.uniform(0, 4000, size=(B, 1))
+        frames = []
+        for k in range(4):
+            ph = (t[None, :] + k * 0.02) * freqs
+            if channels == 2:
+                pcm = np.stack(
+                    [11000 * np.sin(2 * np.pi * ph),
+                     11000 * np.sin(2 * np.pi * ph * 1.01)], axis=1) \
+                    + 1600 * rng.standard_normal((B, 2, N))
+            else:
+                pcm = 11000 * np.sin(2 * np.pi * ph) \
+                    + 1600 * rng.standard_normal((B, N))
+            frames.append(np.clip(pcm, -32768, 32767).astype(np.int16))
 
-    # warmup + compile + correctness spot check
-    packets, rngs = enc.encode_packed(frames[0])
-    from opus_codec_tpu.opus.decoder import OpusDecoder
-    dec = OpusDecoder(48000, 1)
-    for b in (0, B // 2, B - 1):
-        dec.decode_float(packets[b], N)
-        assert dec.get_final_range() == rngs[b], \
-            "decode/final_range mismatch"
-        dec.reset()
+        # warmup + compile + correctness spot check
+        packets, rngs = enc.encode_packed(frames[0])
+        from opus_codec_tpu.opus.decoder import OpusDecoder
+        dec = OpusDecoder(48000, channels)
+        for b in (0, B // 2, B - 1):
+            dec.decode_float(packets[b], N)
+            assert dec.get_final_range() == rngs[b], \
+                "decode/final_range mismatch"
+            dec.reset()
 
-    # tunnel upload bandwidth (host->device), materialised honestly
-    d = jax.device_put(frames[0])
-    np.asarray(d[:1, :1])
-    t0 = time.perf_counter()
-    for k in range(2):
-        d = jax.device_put(frames[k])
-        np.asarray(d[:1, :1])
-    up_dt = (time.perf_counter() - t0) / 2
-    upload_mbps = frames[0].nbytes / 1e6 / up_dt
+        upload_mbps = None
+        if measure_tunnel:
+            d = jax.device_put(frames[0])
+            np.asarray(d.ravel()[:1])
+            t0 = time.perf_counter()
+            for k in range(2):
+                d = jax.device_put(frames[k])
+                np.asarray(d.ravel()[:1])
+            up_dt = (time.perf_counter() - t0) / 2
+            upload_mbps = frames[0].nbytes / 1e6 / up_dt
 
-    # device-side codec throughput: chained steps on device-resident
-    # input (what a host with a real DMA path would sustain)
-    dev = [jax.device_put(f) for f in frames]
-    jax.block_until_ready(dev)
-    t0 = time.perf_counter()
-    outs = [enc.encode_device_packed(dev[s % 4]) for s in range(steps)]
-    np.asarray(outs[-1][:1])
-    dev_dt = (time.perf_counter() - t0) / steps
-    device_rtf = B * (N / 48000.0) / dev_dt
+        # device-side codec throughput (device-resident input)
+        dev = [jax.device_put(f) for f in frames]
+        jax.block_until_ready(dev)
+        t0 = time.perf_counter()
+        outs = [enc.encode_device_packed(dev[s % 4]) for s in range(steps)]
+        np.asarray(outs[-1][:1])
+        dev_dt = (time.perf_counter() - t0) / steps
+        device_rtf = B * (N / 48000.0) / dev_dt
 
-    # timed steady state: three-stage software pipeline.  A prefetch
-    # thread uploads frame s+2's PCM (jax.device_put releases the GIL
-    # during the tunnel transfer) while the device computes s+1 and
-    # the host fetches frame s's finished payload — steady-state cost
-    # = max(upload, compute, fetch), not the sum.
-    ex = ThreadPoolExecutor(2)
-    LAG = 2
-    inflight = deque()
-    futs = deque()
-    futs.append(ex.submit(jax.device_put, frames[0]))
-    t0 = time.perf_counter()
-    total_bytes = 0
-    for s in range(steps):
-        futs.append(ex.submit(jax.device_put, frames[(s + 1) % 4]))
-        inflight.append(enc.encode_device_packed(futs.popleft().result()))
-        # start the oldest payload's device->host copy now so it
-        # overlaps the next upload/compute instead of serialising
-        # behind them at np.asarray time
-        if len(inflight) > LAG:
-            inflight[0].copy_to_host_async()
-        if len(inflight) > LAG:
-            payload = np.asarray(inflight.popleft())
-            pkts, _ = enc.split_payload(payload)
-            total_bytes += sum(len(p) for p in pkts)
-    while inflight:
-        payload = np.asarray(inflight.popleft())
-        pkts, _ = enc.split_payload(payload)
-        total_bytes += sum(len(p) for p in pkts)
-    dt = time.perf_counter() - t0
-    ex.shutdown(wait=False)
+        e2e_rtf = None
+        if measure_tunnel:
+            # three-stage software pipeline (upload / compute / fetch)
+            ex = ThreadPoolExecutor(2)
+            LAG = 2
+            inflight = deque()
+            futs = deque()
+            futs.append(ex.submit(jax.device_put, frames[0]))
+            t0 = time.perf_counter()
+            for s_i in range(steps):
+                futs.append(ex.submit(jax.device_put,
+                                      frames[(s_i + 1) % 4]))
+                inflight.append(
+                    enc.encode_device_packed(futs.popleft().result()))
+                if len(inflight) > LAG:
+                    inflight[0].copy_to_host_async()
+                if len(inflight) > LAG:
+                    payload = np.asarray(inflight.popleft())
+                    enc.split_payload(payload)
+            while inflight:
+                payload = np.asarray(inflight.popleft())
+                enc.split_payload(payload)
+            dt = time.perf_counter() - t0
+            ex.shutdown(wait=False)
+            e2e_rtf = B * steps * (N / 48000.0) / dt
+        return e2e_rtf, device_rtf, upload_mbps
 
-    audio_seconds = B * steps * (N / 48000.0)
-    rtf = audio_seconds / dt
+    B = int(os.environ.get("BENCH_B", "4096"))
+    steps = int(os.environ.get("BENCH_STEPS", "16"))
+    # headline: the north-star unit — stereo 20 ms
+    e2e_st, dev_st, up_st = run_lane(2, B, steps, measure_tunnel=True)
+    # secondary: the mono lane tracked since round 2
+    _, dev_mono, _ = run_lane(1, B, steps)
+
     baseline_per_chip_stereo = 10000.0 / 8.0
     print(json.dumps({
-        "metric": "celt_encode_end_to_end_realtime_factor_per_chip",
-        "value": round(rtf, 1),
-        "unit": "x_realtime_48kHz_mono_20ms_cbr64k_pcm_to_packets",
-        "vs_baseline": round((rtf / 2.0) / baseline_per_chip_stereo, 3),
-        "device_rtf": round(device_rtf, 1),
-        "device_vs_baseline": round((device_rtf / 2.0)
-                                    / baseline_per_chip_stereo, 3),
-        "tunnel_upload_MBps": round(upload_mbps, 1),
+        "metric": "celt_encode_stereo_realtime_factor_per_chip",
+        "value": round(e2e_st, 1),
+        "unit": ("x_realtime_48kHz_stereo_20ms_cbr%dk_c%d_pcm_to_packets"
+                 % (bitrate // 1000, complexity)),
+        "vs_baseline": round(e2e_st / baseline_per_chip_stereo, 3),
+        "device_rtf": round(dev_st, 1),
+        "device_vs_baseline": round(dev_st / baseline_per_chip_stereo,
+                                    3),
+        "mono_device_rtf": round(dev_mono, 1),
+        "tunnel_upload_MBps": round(up_st, 1),
         "platform": platform,
-        "note": ("e2e is bounded by the dev-harness tunnel's host->"
-                 "device bandwidth (7.9 MB PCM per 82 s-of-audio "
-                 "step); device_rtf chains steps on device-resident "
-                 "input"),
+        "note": ("north-star config (BASELINE.json: 10000x aggregate "
+                 "stereo on v5e-8 = 1250x/chip); e2e is bounded by the "
+                 "dev-harness tunnel's host->device bandwidth "
+                 "(15.7 MB int16 stereo PCM per 82 s-of-audio step), "
+                 "device_rtf chains steps on device-resident input"),
     }))
-
 
 if __name__ == "__main__":
     try:
@@ -257,9 +274,9 @@ if __name__ == "__main__":
             sys.exit(r.returncode)
         # terminal: still emit ONE parseable JSON line, rc 0
         print(json.dumps({
-            "metric": "celt_encode_end_to_end_realtime_factor_per_chip",
+            "metric": "celt_encode_stereo_realtime_factor_per_chip",
             "value": 0.0,
-            "unit": "x_realtime_48kHz_mono_20ms_cbr64k_pcm_to_packets",
+            "unit": "x_realtime_48kHz_stereo_20ms_cbr64k_pcm_to_packets",
             "vs_baseline": 0.0,
             "error": f"{type(e).__name__}: {e}"[:400],
         }))

@@ -34,7 +34,8 @@ class CeltBatchEncoder:
 
     def __init__(self, batch: int, bitrate: int = 64000,
                  sample_rate: int = 48000, frame_size: int = 960,
-                 exact: bool = False, channels: int = 1):
+                 exact: bool = False, channels: int = 1,
+                 complexity: int = 0):
         import jax.numpy as jnp
 
         from .celt import batch_encoder as be
@@ -51,14 +52,17 @@ class CeltBatchEncoder:
         self.bitrate = bitrate
         self.frame_size = frame_size
         self.channels = channels
+        self.complexity = int(complexity)
         self.lm = lm
         self.nbytes = be.cbr_bytes(bitrate, self.frame_size, sample_rate,
                                    1275)
         self.exact = exact
         dtype = jnp.float64 if exact else jnp.float32
-        self.state = be.init_stream_state(batch, dtype=dtype) \
+        self.state = be.init_stream_state(
+            batch, dtype=dtype, complexity=self.complexity) \
             if channels == 1 else \
-            be.init_stream_state_stereo(batch, dtype=dtype)
+            be.init_stream_state_stereo(batch, dtype=dtype,
+                                        complexity=self.complexity)
         self._nbytes_dev = jnp.full((batch,), self.nbytes, jnp.int32)
         self._bitrate_dev = jnp.full((batch,), bitrate, jnp.int32)
         self._toc = pkt.gen_toc(CodecMode.CELT_ONLY, 400 >> lm,
@@ -88,7 +92,7 @@ class CeltBatchEncoder:
             else self._be.celt_encode_batch_plan_stereo_jit
         c, self.state = fn(
             pcm, self.state, self._nbytes_dev, self._bitrate_dev,
-            lm=self.lm, exact=self.exact)
+            lm=self.lm, exact=self.exact, complexity=self.complexity)
         return c
 
     def pack(self, c) -> Tuple[List[bytes], np.ndarray]:
@@ -148,12 +152,15 @@ class CeltBatchEncoder:
             plan_fn = be.celt_encode_batch_plan if self.channels == 1 \
                 else be.celt_encode_batch_plan_stereo
 
+            cplx = self.complexity
+
             def run(pcm, state, nb, br):
                 if pcm.dtype == jnp.int16:
                     # int16 API lane: halves the host->device traffic
                     pcm = pcm.astype(jnp.float32) * (1.0 / 32768.0)
                 c, st2 = plan_fn(
-                    pcm, state, nb, br, lm=lm, exact=exact)
+                    pcm, state, nb, br, lm=lm, exact=exact,
+                    complexity=cplx)
                 out, rng = bp.pack_plan_device(c.ops, nb, nbytes)
                 # one fused uint8 payload: bytes + little-endian final
                 # range per row — a single tunnel round trip fetches
@@ -199,6 +206,7 @@ class CeltBatchEncoder:
 
             be = self._be
             lm, exact, nbytes = self.lm, self.exact, self.nbytes
+            cplx = self.complexity
             plan_fn = be.celt_encode_batch_plan if self.channels == 1 \
                 else be.celt_encode_batch_plan_stereo
 
@@ -210,7 +218,8 @@ class CeltBatchEncoder:
 
                 def body(st, pcm):
                     c, st = plan_fn(
-                        pcm, st, nb, br, lm=lm, exact=exact)
+                        pcm, st, nb, br, lm=lm, exact=exact,
+                        complexity=cplx)
                     out, rng = bp.pack_plan_device(c.ops, nb, nbytes)
                     return st, (out, rng)
 

@@ -109,6 +109,30 @@ def mdct_forward_batch(x: jnp.ndarray, n2: int) -> jnp.ndarray:
                       preferred_element_type=jnp.float32)
 
 
+@lru_cache(maxsize=None)
+def _mdct_short_matrix(lm: int) -> jnp.ndarray:
+    """[N+overlap, N] short-block (transient) MDCT: 2^lm MDCTs of the
+    short size with the reference's interleaved output layout
+    (compute_mdcts, celt_encoder.c:461-504: out[b::M] = spec_b)."""
+    m = _MODE
+    Ns = m.short_mdct_size
+    Mb = 1 << lm
+    N = Ns << lm
+    ov = m.overlap
+    sub = np.asarray(_mdct_matrix(Ns))          # [Ns+ov, Ns]
+    mat = np.zeros((N + ov, N), np.float32)
+    for b in range(Mb):
+        mat[b * Ns: b * Ns + Ns + ov, b::Mb] += sub
+    return mat
+
+
+def mdct_forward_short_batch(x: jnp.ndarray, lm: int) -> jnp.ndarray:
+    """Batched short-block MDCT: [B, N+overlap] -> [B, N] interleaved."""
+    return jnp.matmul(x, _mdct_short_matrix(lm),
+                      precision=jax.lax.Precision.HIGH,
+                      preferred_element_type=jnp.float32)
+
+
 def band_energies_batch(spec: jnp.ndarray, lm: int) -> jnp.ndarray:
     """bandE over a batch: [B, N] -> [B, nbEBands]."""
     mat = _band_matrix(lm)

@@ -395,3 +395,223 @@ def spreading_decision_batch(X, spread_weight, update_hf, tonal_avg,
                          jnp.where(s < 256, 2,
                                    jnp.where(s < 384, 1, 0)))
     return decision, tonal_out, hf_out, tap_out
+
+
+# ---------------------------------------------------------------------------
+# Band shape transforms, encode direction (bands.c:746-785): the
+# recombine haar cascade, the tf_change<0 time-divide haars and the
+# deinterleave_hadamard are applied to each band's spectrum at its
+# (channel-)subtree entry.  Per stream the combo is selected by
+# (transient, recombine, time_divide); the decoder's ``_band_combos``
+# supplies the stacked forward matrices for the fast path, while exact
+# float64 parity uses the elementwise/permutation cascade (identical
+# rounding to the scalar haar1 / pure reorder).
+
+def band_blocks_params(transient, tf_change, lm: int, start: int,
+                       end: int):
+    """Per-band combo parameters from the per-stream transient flag
+    [B] and tf_change [B, nb] (post-tf_encode table values).
+
+    Returns (recombine, time_divide, B2) — [B, nb] int32 each; B2 is
+    the block count entering the partition tree (bands.c:763-776)."""
+    m = standard_mode()
+    M = 1 << lm
+    B = transient.shape[0]
+    nb = tf_change.shape[1]
+    zeros = jnp.zeros((B,), _i32)
+    rs, tds, b2s = [], [], []
+    for i in range(nb):
+        N = (int(m.e_bands[i + 1]) - int(m.e_bands[i])) << lm
+        if not (start <= i < end) or N < 2:
+            rs.append(zeros)
+            tds.append(zeros)
+            b2s.append(jnp.ones((B,), _i32))
+            continue
+        tfc = tf_change[:, i]
+        r = jnp.maximum(tfc, 0)          # >0 only on transient streams
+        r = jnp.where(transient, r, 0)
+        NB = jnp.where(transient, N >> lm, N) << r
+        Bv = jnp.where(transient, M >> r, 1)
+        td = zeros
+        tfc2 = tfc
+        for _ in range(3):               # |tf_change| <= 3
+            can = ((NB & 1) == 0) & (tfc2 < 0) & (Bv >= 1)
+            NB = jnp.where(can, NB >> 1, NB)
+            Bv = jnp.where(can, Bv << 1, Bv)
+            td = td + can.astype(_i32)
+            tfc2 = tfc2 + can.astype(_i32)
+        rs.append(r)
+        tds.append(td)
+        b2s.append(Bv)
+    return (jnp.stack(rs, axis=1), jnp.stack(tds, axis=1),
+            jnp.stack(b2s, axis=1))
+
+
+def _haar1_vec(seg, n0: int, stride: int):
+    """haar1(X, 0, n0, stride) on [B, >=n0*stride] (bands.c:632-645);
+    columns beyond n0*stride untouched.  Same rounding as the scalar
+    (multiply by 0.70710678, then add/sub)."""
+    half = n0 >> 1
+    if half < 1:
+        return seg
+    Bsz = seg.shape[0]
+    head = seg[:, :half * 2 * stride].reshape(Bsz, half, 2, stride)
+    t1 = 0.70710678 * head[:, :, 0, :]
+    t2 = 0.70710678 * head[:, :, 1, :]
+    out = jnp.stack([t1 + t2, t1 - t2], axis=2).reshape(
+        Bsz, half * 2 * stride)
+    return jnp.concatenate([out, seg[:, half * 2 * stride:]], axis=1)
+
+
+@lru_cache(maxsize=None)
+def _deint_perm(N0: int, stride: int, hadamard: bool):
+    """Gather indices g with out[:, k] = in[:, g[k]] for
+    _deinterleave_hadamard(X, 0, N0, stride, hadamard)."""
+    from .bands import ORDERY_TABLE
+    g = np.zeros(N0 * stride, np.int32)
+    if hadamard:
+        off = {2: 0, 4: 2, 8: 6, 16: 14}[stride]
+        ordery = ORDERY_TABLE[off:off + stride]
+        for i in range(stride):
+            for j in range(N0):
+                g[ordery[i] * N0 + j] = j * stride + i
+    else:
+        for i in range(stride):
+            for j in range(N0):
+                g[i * N0 + j] = j * stride + i
+    return g
+
+
+@lru_cache(maxsize=None)
+def band_combo_specs(N: int, lm: int):
+    """Static combo list for a band of width N: tuples
+    (key=(transient, r, td), B2, fwd_ops) with fwd_ops the encode-side
+    op cascade (haar / deint) of bands.c:756-785."""
+    from .batch_decoder import _combo_ops
+    from .modes import TF_SELECT_TABLE
+    M = 1 << lm
+    tf_vals = sorted(set(TF_SELECT_TABLE[lm]))
+    out = []
+    seen = set()
+    for transient in (False, True):
+        B0f = M if transient else 1
+        if B0f > N:
+            continue
+        for tf in tf_vals:
+            fwd, _inv, B2, r, td = _combo_ops(N, B0f, tf)
+            key = (transient, r, td)
+            if key in seen:
+                continue
+            seen.add(key)
+            out.append((key, B2, tuple(fwd)))
+    return tuple(out)
+
+
+def apply_band_combo(seg, transient, rec, td, N: int, lm: int,
+                     exact: bool):
+    """Apply the per-stream band combo transform to seg[:, :N]
+    (seg may be wider; tail untouched).  transient [B] bool, rec/td
+    [B] i32."""
+    specs = band_combo_specs(N, lm)
+    head = seg[:, :N]
+    out = head
+    if exact:
+        for (t, r, tdv), _B2, ops in specs:
+            if not ops:
+                continue
+            y = head
+            for op in ops:
+                if op[0] == "haar":
+                    y = _haar1_vec(y, op[1], op[2])
+                else:
+                    g = _deint_perm(op[1], op[2], op[3])
+                    y = y[:, g]
+            sel = (transient == t) & (rec == r) & (td == tdv)
+            out = jnp.where(sel[:, None], y, out)
+    else:
+        from .batch_decoder import _apply_ops
+        for (t, r, tdv), _B2, ops in specs:
+            if not ops:
+                continue
+            mat = np.zeros((N, N), np.float32)
+            for j in range(N):
+                e = [0.0] * N
+                e[j] = 1.0
+                mat[j] = _apply_ops(e, list(ops))
+            sel = (transient == t) & (rec == r) & (td == tdv)
+
+            def doit(mat=mat):
+                return jnp.matmul(head, jnp.asarray(mat, head.dtype),
+                                  preferred_element_type=jnp.float32
+                                  ).astype(head.dtype)
+
+            # runtime-gated: non-identity combos only exist on
+            # transient streams — skip the matmul when none selected
+            y = jax.lax.cond(jnp.any(sel), doit, lambda: head)
+            out = jnp.where(sel[:, None], y, out)
+    if seg.shape[1] > N:
+        out = jnp.concatenate([out, seg[:, N:]], axis=1)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Spreading rotation, encode direction (vq.c:74-117, direction > 0)
+
+SPREAD_NONE = 0
+
+
+def exp_rotation_enc(X, K, spread, N: int, blocks: int, exact: bool):
+    """Forward (encode-side) exp_rotation for a static block count.
+    X: [B, N]; K, spread: [B].  Masked identity where it does not
+    apply (2K >= N or spread == none)."""
+    from .batch_decoder import (_rotation1_bwd, _rotation1_fwd,
+                                _stride2_of)
+    dt = X.dtype
+    Bs = X.shape[0]
+    SPREAD_FACTOR = np.array([0, 15, 10, 5], np.int32)
+    factor = jnp.asarray(SPREAD_FACTOR)[jnp.clip(spread, 0, 3)]
+    Kf = jnp.maximum(K, 1).astype(dt)
+    gain = jnp.asarray(float(N), dt) / (N + factor.astype(dt) * Kf)
+    theta = 0.5 * gain * gain
+    c = jnp.cos(0.5 * jnp.pi * theta).astype(dt)
+    s = jnp.cos(0.5 * jnp.pi * (1.0 - theta)).astype(dt)
+    st2 = _stride2_of(N, blocks)
+    L = N // blocks
+    Y = X.reshape(Bs * blocks, L) if blocks > 1 else X
+    cb = jnp.repeat(c, blocks) if blocks > 1 else c
+    sb = jnp.repeat(s, blocks) if blocks > 1 else s
+    # encode: stride-1 sweeps with (c, -s), then stride2 with (s, -c)
+    Y = _rotation1_bwd(_rotation1_fwd(Y, cb, -sb, 1, exact), cb, -sb, 1,
+                       exact)
+    if st2:
+        Y = _rotation1_bwd(_rotation1_fwd(Y, sb, -cb, st2, exact), sb,
+                           -cb, st2, exact)
+    if blocks > 1:
+        Y = Y.reshape(Bs, N)
+    apply = (2 * K < N) & (spread != SPREAD_NONE)
+    return jnp.where(apply[:, None], Y, X)
+
+
+def exp_rotation_enc_multi(X, K, spread, N: int, node_B, bbset,
+                           exact: bool):
+    """exp_rotation_enc with per-stream block count node_B selected
+    from the static candidate set ``bbset``.
+
+    Each variant runs under a runtime ``lax.cond``: in a typical batch
+    most streams are non-transient (node_B == 1) with many leaves not
+    rotating at all (2K >= N or spread none), so the multi-variant
+    cost is paid only when some stream actually needs that variant."""
+    cands = [bb for bb in bbset if N % bb == 0 and bb <= N]
+    if not cands:
+        cands = [1]
+    rot_any = (2 * K < N) & (spread != SPREAD_NONE)
+    out = X
+    for bb in cands:
+        sel = rot_any & (node_B == bb)
+
+        def doit(X=X, bb=bb):
+            return exp_rotation_enc(X, K, spread, N, bb, exact)
+
+        rot = jax.lax.cond(jnp.any(sel), doit, lambda: X)
+        out = jnp.where(sel[:, None], rot, out)
+    return out

@@ -91,7 +91,16 @@ def _chains(L: int, st: int):
     return idx
 
 
-def _rotation1_fwd(X, c, s, st: int):
+
+def _unfused(prod, anchor):
+    """Launder a just-rounded product through a data-dependent select
+    so the CPU backend cannot contract it with a following add into an
+    FMA (single rounding) — that would break exact-mode bit-parity
+    with the scalar reference.  ``anchor`` is any tensor the compiler
+    cannot prove NaN-free (the select therefore survives)."""
+    return jnp.where(anchor == anchor, prod, jnp.zeros_like(prod))
+
+def _rotation1_fwd(X, c, s, st: int, exact: bool = False):
     """First sweep of exp_rotation1 (vq.c:47-56) as an associative scan.
 
     Sweep: for i in 0..L-st-1:  (x1, x2) = (X[i], X[i+st]);
@@ -99,6 +108,10 @@ def _rotation1_fwd(X, c, s, st: int):
     Along each stride-st chain a_m: u_0 = a_0, u_{m+1} = c*a_{m+1} + s*u_m
     (u_m = value of position m when read as x1), final:
       X[m] = c*u_m - s*a_{m+1}  (m < M-1);   X[M-1] = u_{M-1}.
+
+    With ``exact`` the u recurrence runs as a sequential lax.scan —
+    the reference's float operation order bit-for-bit (the encoder's
+    float64 parity mode); the associative scan is the fast path.
     """
     B, L = X.shape
     idx = _chains(L, st)                      # [st, maxlen]
@@ -116,11 +129,28 @@ def _rotation1_fwd(X, c, s, st: int):
     def comb(p, q):
         return (p[0] * q[0], q[0] * p[1] + q[1])
 
-    _, u = jax.lax.associative_scan(comb, (cm, add), axis=2)
+    if exact:
+        def seqstep(u_prev, xs_m):
+            cm_m, add_m = xs_m               # [B, n_ch] each
+            # _unfused: no FMA contraction in exact mode
+            p = _unfused(cm_m * u_prev, add_m)
+            u_m = p + add_m
+            return u_m, u_m
+
+        _, useq = jax.lax.scan(
+            seqstep, jnp.zeros((B, n_ch), X.dtype),
+            (jnp.moveaxis(cm, 2, 0), jnp.moveaxis(add, 2, 0)))
+        u = jnp.moveaxis(useq, 0, 2)
+    else:
+        _, u = jax.lax.associative_scan(comb, (cm, add), axis=2)
     lens = (idx >= 0).sum(axis=1)             # [n_ch] static chain lengths
     a_next = jnp.concatenate([a[:, :, 1:], jnp.zeros_like(a[:, :, :1])],
                              axis=2)
-    out = c[:, None, None] * u - s[:, None, None] * a_next
+    if exact:
+        out = _unfused(c[:, None, None] * u, a_next) \
+            - _unfused(s[:, None, None] * a_next, u)
+    else:
+        out = c[:, None, None] * u - s[:, None, None] * a_next
     is_last = jnp.asarray(
         np.arange(ml)[None, :] == (lens - 1)[:, None])   # [n_ch, ml]
     out = jnp.where(is_last[None], u, out)
@@ -131,7 +161,7 @@ def _rotation1_fwd(X, c, s, st: int):
     return res[:, :L]
 
 
-def _rotation1_bwd(X, c, s, st: int):
+def _rotation1_bwd(X, c, s, st: int, exact: bool = False):
     """Second sweep (vq.c:57-66): for i in L-2st-1..0 descending:
     X[i+st] = c*x2 + s*x1; X[i] = c*x1 - s*x2, where x2 = X[i+st] has
     already been rewritten by step i+st (as its x1-slot).
@@ -162,7 +192,20 @@ def _rotation1_bwd(X, c, s, st: int):
     def comb(p, q):
         return (p[0] * q[0], q[0] * p[1] + q[1])
 
-    _, trev = jax.lax.associative_scan(comb, (cm, add), axis=2)
+    if exact:
+        def seqstep(t_prev, xs_m):
+            cm_m, add_m = xs_m
+            # _unfused: no FMA contraction (see fwd)
+            p = _unfused(cm_m * t_prev, add_m)
+            t_m = p + add_m
+            return t_m, t_m
+
+        _, tseq = jax.lax.scan(
+            seqstep, jnp.zeros((X.shape[0], n_ch), X.dtype),
+            (jnp.moveaxis(cm, 2, 0), jnp.moveaxis(add, 2, 0)))
+        trev = jnp.moveaxis(tseq, 0, 2)
+    else:
+        _, trev = jax.lax.associative_scan(comb, (cm, add), axis=2)
     t = trev[:, :, ::-1]
     # final values
     a_prev = jnp.concatenate([jnp.zeros_like(a[:, :, :1]), a[:, :, :-1]],
@@ -170,9 +213,12 @@ def _rotation1_bwd(X, c, s, st: int):
     t_shift = t                                # t at this position
     prev_stepped = np.concatenate(
         [np.zeros((n_ch, 1), bool), stepped[:, :-1]], axis=1)
-    out = jnp.where(jnp.asarray(prev_stepped)[None],
-                    c[:, None, None] * t_shift
-                    + s[:, None, None] * a_prev,
+    if exact:
+        comb = _unfused(c[:, None, None] * t_shift, a_prev) \
+            + _unfused(s[:, None, None] * a_prev, t_shift)
+    else:
+        comb = c[:, None, None] * t_shift + s[:, None, None] * a_prev
+    out = jnp.where(jnp.asarray(prev_stepped)[None], comb,
                     jnp.where(jnp.asarray(stepped)[None], t, a))
     flat_idx = np.where(idx < 0, L, idx).ravel()
     res = jnp.zeros((B, L + 1), X.dtype).at[:, flat_idx].set(

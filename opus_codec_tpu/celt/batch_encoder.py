@@ -221,6 +221,47 @@ def spread_decision_c0(c: PlanCoder, budget):
     return c
 
 
+def tf_encode_batch(c: PlanCoder, tf_res, is_transient, tf_select,
+                    budget, lm: int, start: int, end: int):
+    """tf_encode (celt_encoder.c:756-794) with real per-stream tf_res
+    [B, nb] / is_transient [B] / tf_select [B].
+
+    Returns (coder, tf_change [B, nb] — the TF_SELECT_TABLE-mapped
+    values the band tree consumes, tf_sel_out [B])."""
+    from .batch_analysis import TF_SELECT_TABLE
+    B = tf_res.shape[0]
+    ist = is_transient.astype(_i32)
+    tbl = np.asarray(TF_SELECT_TABLE[lm], np.int32)
+    tbl_j = jnp.asarray(tbl)
+    logp = jnp.where(is_transient, 2, 4)
+    tell = bc.tell(c)
+    rsv = ((lm > 0) & (tell + logp + 1 <= budget)).astype(_i32)
+    budget_eff = budget - rsv
+    curr = jnp.zeros((B,), _i32)
+    tf_changed = jnp.zeros((B,), _i32)
+    res_cols = []
+    for i in range(start, end):
+        tell = bc.tell(c)
+        can = tell + logp <= budget_eff
+        v = tf_res[:, i]
+        c = bc.bit_logp(c, can, v ^ curr, logp)
+        curr = jnp.where(can, v, curr)
+        tf_changed = tf_changed | jnp.where(can, curr, 0)
+        res_cols.append(curr)
+        logp = jnp.where(is_transient, 4, 5)
+    res = jnp.stack(res_cols, axis=1)             # [B, end-start]
+    t_a = _sel_row(tbl_j, 4 * ist + 0 + tf_changed)
+    t_b = _sel_row(tbl_j, 4 * ist + 2 + tf_changed)
+    need_sel = (rsv == 1) & (t_a != t_b)
+    tf_sel_out = jnp.where(need_sel, tf_select, 0)
+    c = bc.bit_logp(c, need_sel, tf_sel_out, 1)
+    tf_change = _sel_row(
+        tbl_j, (4 * ist + 2 * tf_sel_out)[:, None] + res)
+    if start > 0:
+        tf_change = jnp.pad(tf_change, ((0, 0), (start, 0)))
+    return c, tf_change, tf_sel_out
+
+
 # ---------------------------------------------------------------------------
 # dynalloc boost coding (celt_encoder.c:2017-2050)
 
@@ -803,10 +844,20 @@ class _Sched(NamedTuple):
     poff: np.ndarray        # [n] partner-window offset for the child
                             # swap (mono split: N>>1; stereo root: Wg)
     st_pcap: np.ndarray     # [n] band-level pulse cap (stereo theta)
+    lmk: np.ndarray         # [n] node LM (band LM minus split depth)
+    depth: np.ndarray       # [n] splits below the band/subtree entry
+    entry: np.ndarray       # [n] 1 at channel-subtree entries needing
+                            # the in-scan band shape transform (stereo
+                            # groups only; mono pre-transforms outside)
+    wclass: np.ndarray      # [n] width-class id into ``classes``
+    classes: tuple          # ((W, kmax, bbset, entry, leafable), ...)
 
 
 def _sched_from_recs(recs, start: int, cache_bits,
-                     stereo: int = 0, Wg: int = 0) -> _Sched:
+                     stereo: int = 0, Wg: int = 0,
+                     lm: int = 3) -> _Sched:
+    from .batch_analysis import band_combo_specs
+    m = standard_mode()
     n = len(recs)
     NBmax = max(r["N"] for r in recs)
     rowlen = max(r["maxq"] for r in recs) + 1
@@ -827,6 +878,34 @@ def _sched_from_recs(recs, start: int, cache_bits,
 
     poff = np.asarray([Wg if r["kind"] else (r["N"] >> 1)
                        for r in recs], np.int32)
+
+    # width classes for the in-scan leaf/transform dispatch: nodes that
+    # can never leaf (n1 / stereo roots) share the null class 0
+    classes = [(0, 1, (1,), False, False)]
+    wclass = np.zeros(n, np.int32)
+    for j, r in enumerate(recs):
+        if r["is_n1"] or r["kind"]:
+            continue
+        bandN = (int(m.e_bands[r["band"] + 1])
+                 - int(m.e_bands[r["band"]])) << lm
+        b2set = {1} | {B2 for _k, B2, _o in band_combo_specs(bandN, lm)}
+        d = int(r["depth"])
+        bbset = tuple(sorted({max(b2 >> d, 1) for b2 in b2set}))
+        key = (int(r["N"]), int(get_pulses(r["maxq"])), bbset,
+               bool(r.get("entry", 0)), True)
+        # merge classes of equal (W, bbset, entry) taking the max kmax
+        found = None
+        for ci, (W, km, bs, en, lf) in enumerate(classes):
+            if (W, bs, en, lf) == (key[0], key[2], key[3], True):
+                found = ci
+                if key[1] > km:
+                    classes[ci] = (W, key[1], bs, en, lf)
+                break
+        if found is None:
+            classes.append(key)
+            found = len(classes) - 1
+        wclass[j] = found
+
     return _Sched(
         n_steps=n, NBmax=NBmax, rowlen=rowlen, kmax=kmax,
         base=base, Wg=Wg, stereo=stereo,
@@ -840,7 +919,11 @@ def _sched_from_recs(recs, start: int, cache_bits,
         N=arr("N"), can_split=arr("can_split"), parent=arr("parent"),
         is_second=arr("is_second"), cache_row=cache_rows,
         maxq=arr("maxq"), thresh=arr("thresh"), pulse_cap=arr("pcap"),
-        kind=arr("kind"), poff=poff, st_pcap=arr("st_pcap"))
+        kind=arr("kind"), poff=poff, st_pcap=arr("st_pcap"),
+        lmk=arr("lmk"), depth=arr("depth"),
+        entry=np.asarray([int(r.get("entry", 0)) for r in recs],
+                         np.int32),
+        wclass=wclass, classes=tuple(classes))
 
 
 @lru_cache(maxsize=None)
@@ -870,7 +953,7 @@ def _band_schedule_groups(lm: int, start: int, end: int,
     cur_width = None
 
     def add(recs, band, xlo, is_root, is_n1, N, lmk, parent,
-            is_second, kind=0):
+            is_second, kind=0, depth=0, entry=0):
         can_split = int(kind == 0 and lmk != -1 and N > 2)
         if is_n1 or kind:
             cache_off, maxq, thresh, pcap = 0, 0, 0, 0
@@ -887,15 +970,18 @@ def _band_schedule_groups(lm: int, start: int, end: int,
                          is_n1=is_n1, N=N, lmk=lmk, parent=parent,
                          is_second=is_second, can_split=can_split,
                          cache_off=cache_off, maxq=maxq, thresh=thresh,
-                         pcap=pcap, kind=kind, st_pcap=st_pcap))
+                         pcap=pcap, kind=kind, st_pcap=st_pcap,
+                         depth=depth, entry=entry))
         idx = len(recs) - 1
         if can_split:
             # static child windows: the first-coded child always owns
             # [xlo, xlo+half) — a parent-order swap physically swaps
             # the halves in the carried spectrum instead
             half = N >> 1
-            add(recs, band, xlo, 0, 0, half, lmk - 1, idx, 0)
-            add(recs, band, xlo + half, 0, 0, half, lmk - 1, idx, 1)
+            add(recs, band, xlo, 0, 0, half, lmk - 1, idx, 0,
+                depth=depth + 1)
+            add(recs, band, xlo + half, 0, 0, half, lmk - 1, idx, 1,
+                depth=depth + 1)
         return idx
 
     def add_band(recs, i, base_off):
@@ -909,11 +995,13 @@ def _band_schedule_groups(lm: int, start: int, end: int,
         ridx = add(recs, i, xlo + base_off, 1, int(N == 1), N, lm, -1,
                    0, kind=1)
         if N > 1:
-            add(recs, i, xlo + base_off, 0, 0, N, lm, ridx, 0)
+            add(recs, i, xlo + base_off, 0, 0, N, lm, ridx, 0,
+                entry=1)
             # Y subtree windows are shifted by +Wg when the group is
             # assembled (they index the Y plane)
             recs_y_start = len(recs)
-            add(recs, i, xlo + base_off, 0, 0, N, lm, ridx, 1)
+            add(recs, i, xlo + base_off, 0, 0, N, lm, ridx, 1,
+                entry=1)
             for r in recs[recs_y_start:]:
                 r["y_plane"] = True
 
@@ -921,15 +1009,16 @@ def _band_schedule_groups(lm: int, start: int, end: int,
         w = int(widths[i])
         if cur_width is not None and w != cur_width:
             groups.append(_finish_group(cur, start, t.cache_bits,
-                                        stereo))
+                                        stereo, lm))
             cur = []
         cur_width = w
         add_band(cur, i, 0)
-    groups.append(_finish_group(cur, start, t.cache_bits, stereo))
+    groups.append(_finish_group(cur, start, t.cache_bits, stereo, lm))
     return tuple(groups)
 
 
-def _finish_group(recs, start: int, cache_bits, stereo: bool) -> _Sched:
+def _finish_group(recs, start: int, cache_bits, stereo: bool,
+                  lm: int) -> _Sched:
     """Resolve Y-plane windows (xlo += Wg) then build the schedule."""
     Wg = 0
     if stereo:
@@ -939,7 +1028,8 @@ def _finish_group(recs, start: int, cache_bits, stereo: bool) -> _Sched:
         for r in recs:
             if r.get("y_plane"):
                 r["xlo"] += Wg
-    return _sched_from_recs(recs, start, cache_bits, int(stereo), Wg)
+    return _sched_from_recs(recs, start, cache_bits, int(stereo), Wg,
+                            lm)
 
 
 def _seq_sum_masked(x, exact: bool):
@@ -1131,26 +1221,65 @@ def quant_all_bands_batch(c: PlanCoder, X, pulses, coded_bands,
                           total_bits_q3, balance0, t: Tables, lm: int,
                           start: int, end: int, exact: bool,
                           Y=None, intensity=None, dual_stereo=None,
-                          bandE=None, disable_inv: bool = False):
-    """bands.c:1398-1672 encode path, long blocks, no resynth —
-    a sequence of ``lax.scan``s over static preorder node schedules,
-    one per band-width group (``_band_schedule_groups``), carrying the
-    [B] coder state (rng/tell/balance/rem) across groups.
+                          bandE=None, disable_inv: bool = False,
+                          spread=None, transient=None, tf_change=None,
+                          rotations: bool = False):
+    """bands.c:1398-1672 encode path, no resynth — a sequence of
+    ``lax.scan``s over static preorder node schedules, one per
+    band-width group (``_band_schedule_groups``), carrying the [B]
+    coder state (rng/tell/balance/rem) across groups.
 
     X: [B, Nfreq] normalised spectrum; pulses/coded_bands/balance0 from
     the allocation.  For stereo pass Y plus the coded ``intensity`` /
     ``dual_stereo`` ([B]) and the raw band energies bandE [B, 2, nb]
-    (intensity_stereo weights, bands.c:388-399).  Returns the coder."""
+    (intensity_stereo weights, bands.c:388-399).
+
+    Default-quality args: spread [B] (decision for the leaf
+    rotations), transient [B] bool + tf_change [B, nb] (post-tf_encode
+    table values) for the short-block shape transforms and per-node
+    block counts; ``rotations`` statically enables the spreading
+    rotation (complexity >= 1 compiles).  Returns the coder."""
+    from . import batch_analysis as ban
     rng, nbt = c.rng, c.nbits_total
     balance = balance0
     rem = jnp.zeros(balance0.shape, _i32)
     stereo = Y is not None
+    dyn = tf_change is not None
+    b2_all = rec_all = td_all = None
+    if dyn:
+        rec_all, td_all, b2_all = ban.band_blocks_params(
+            transient, tf_change, lm, start, end)
+        if not stereo:
+            # mono band-entry shape transforms, applied to the full
+            # spectrum before the scans (bands.c:746-785)
+            m = standard_mode()
+            parts = []
+            pos = 0
+            for i in range(start, end):
+                lo = int(m.e_bands[i]) << lm
+                hi = int(m.e_bands[i + 1]) << lm
+                if lo > pos:
+                    parts.append(X[:, pos:lo])
+                N = hi - lo
+                seg = X[:, lo:hi]
+                if N >= 2:
+                    seg = ban.apply_band_combo(
+                        seg, transient, rec_all[:, i], td_all[:, i],
+                        N, lm, exact)
+                parts.append(seg)
+                pos = hi
+            if pos < X.shape[1]:
+                parts.append(X[:, pos:])
+            X = jnp.concatenate(parts, axis=1)
     for s in _band_schedule_groups(lm, start, end, stereo):
         rng, nbt, balance, rem, block, nrows = _quant_group(
             s, X, pulses, coded_bands, total_bits_q3, t,
             rng, nbt, balance, rem, exact,
             Y=Y, intensity=intensity, dual_stereo=dual_stereo,
-            bandE=bandE, disable_inv=disable_inv)
+            bandE=bandE, disable_inv=disable_inv, spread=spread,
+            transient=transient, b2_all=b2_all, rec_all=rec_all,
+            td_all=td_all, rotations=rotations, start_band=start,
+            lm=lm)
         c = bc.append_block(c, block, nrows)
     return c._replace(rng=rng, nbits_total=nbt)
 
@@ -1158,26 +1287,68 @@ def quant_all_bands_batch(c: PlanCoder, X, pulses, coded_bands,
 def _quant_group(s: _Sched, X, pulses, coded_bands, total_bits_q3,
                  t: Tables, rng0, nbt0, balance0, rem0, exact: bool,
                  Y=None, intensity=None, dual_stereo=None, bandE=None,
-                 disable_inv: bool = False):
+                 disable_inv: bool = False, spread=None, transient=None,
+                 b2_all=None, rec_all=None, td_all=None,
+                 rotations: bool = False, start_band: int = 0,
+                 lm: int = 3):
     """One band-width group's node scan; returns the carried coder
-    state plus this group's plan-row block."""
+    state plus this group's plan-row block.
+
+    The expensive per-node work (band shape transform at channel-
+    subtree entries, spreading rotation, PVQ search, CWRS indexing)
+    dispatches through ``lax.switch`` over static width classes — each
+    class's trace runs at the node's true width instead of the group's
+    padded maximum, and rotation/transform variants exist only where
+    a class's static candidate set allows them.
+
+    Default-quality args (all optional; None = complexity-0 behaviour):
+    spread [B] (per-stream spread decision for the leaf rotations),
+    transient [B] bool, b2_all/rec_all/td_all [B, nb] (the per-band
+    block/recombine/time-divide params from
+    ``batch_analysis.band_blocks_params``)."""
+    from . import batch_analysis as ban
     B = X.shape[0]
     NB = s.NBmax
     dt = X.dtype
     n = s.n_steps
     col0 = np.arange(NB)
     kdim = s.kmax + 3
-    # U-table views: constant per-column rows (dim = NB - col) with a
-    # ragged per-column-range K bound, and a static per-node row — all
-    # lookups become one-hot selects sized to what each column can
-    # actually hold
-    u_parts = tuple(
-        ((c0, c1, min(kd, t.u_tab.shape[1])),
-         jnp.asarray(t.u_tab[np.clip(NB - np.arange(c0, c1), 0,
-                                     t.u_tab.shape[0] - 1),
-                             :min(kd, t.u_tab.shape[1])]))
-        for c0, c1, kd in _icwrs_col_parts(_group_icwrs_key(s)))
+    dyn = b2_all is not None
     u_rows = np.stack([t.u_tab[int(Nv), :kdim] for Nv in s.N])
+
+    # ---- static width-class branches (transform + rotate + PVQ +
+    # icwrs); all return (seg [B, NB], idx u32 [B], v u32 [B])
+    u_np = t.u_tab
+
+    def make_branch(W: int, km: int, bbset, entry: bool,
+                    leafable: bool):
+        if leafable and W >= 2:
+            kd = min(km + 3, u_np.shape[1])
+            up = jnp.asarray(
+                u_np[np.clip(W - np.arange(0, W - 1), 0,
+                             u_np.shape[0] - 1), :kd])
+            u_parts_W = (((0, W - 1, kd), up),)
+
+        def f(seg, K, b2n, spread_eff, rec, td, u_row, kmax_j):
+            idx = jnp.zeros((B,), jnp.uint32)
+            v = jnp.full((B,), 2, jnp.uint32)
+            if entry and dyn:
+                seg = ban.apply_band_combo(
+                    seg, transient, rec, td, W, lm, exact)
+            if leafable and W >= 2:
+                segW = seg[:, :W]
+                if rotations:
+                    segW = ban.exp_rotation_enc_multi(
+                        segW, K, spread_eff, W, b2n, bbset, exact)
+                validW = jnp.ones((B, W), bool)
+                iy = _pvq_search_node(segW, jnp.maximum(K, 1), validW,
+                                      W, kmax_j, exact)
+                idx, v = _icwrs_node(iy, u_parts_W, u_row, W)
+            return seg, idx, v
+
+        return f
+
+    branch_fns = [make_branch(*cl) for cl in s.classes]
     # Group spectrum with NB of zero padding both sides: node windows
     # are static (schedule), child-order swaps are materialised into
     # this carried copy, so every segment read is a uniform slice.
@@ -1206,7 +1377,14 @@ def _quant_group(s: _Sched, X, pulses, coded_bands, total_bits_q3,
         "u_row": jnp.asarray(u_rows),
         "kind": jnp.asarray(s.kind), "poff": jnp.asarray(s.poff),
         "st_pcap": jnp.asarray(s.st_pcap),
+        "lmk": jnp.asarray(s.lmk), "depth": jnp.asarray(s.depth),
+        "wclass": jnp.asarray(s.wclass),
     }
+    if dyn:
+        bidx = jnp.asarray(s.band)
+        xs["b2col"] = jnp.take(b2_all, bidx, axis=1).T    # [n, B]
+        xs["reccol"] = jnp.take(rec_all, bidx, axis=1).T
+        xs["tdcol"] = jnp.take(td_all, bidx, axis=1).T
     if s.stereo:
         # per-band intensity_stereo weights from the raw band energies
         # (bands.c:388-399); [n, B] rows aligned with the schedule
@@ -1335,13 +1513,27 @@ def _quant_group(s: _Sched, X, pulses, coded_bands, total_bits_q3,
         K = jnp.where(q < 8, q,
                       (8 + (q & 7)) << jnp.maximum((q >> 3) - 1, 0))
         code = leaf & (q > 0)
-        iy = _pvq_search_node(seg, jnp.maximum(K, 1), valid, Nj,
-                              kmax_j, exact)
-        idx, v = _icwrs_node(iy, u_parts, x["u_row"], Nj)
-        rng, nbt, row1, row2 = bc.uint_rn(
-            rng, nbt, code, idx, jnp.maximum(v, np.uint32(2)))
 
-        # ---- split: compute_theta, mono B0==1 (bands.c:700-903)
+        # ---- width-class dispatch: subtree-entry shape transform,
+        # spreading rotation, PVQ search, CWRS index — all at the
+        # node's true static width
+        if dyn:
+            b2n = jnp.maximum(
+                jnp.right_shift(x["b2col"], x["depth"]), 1)
+            rec_n, td_n = x["reccol"], x["tdcol"]
+        else:
+            b2n = jnp.ones((B,), _i32)
+            rec_n = td_n = jnp.zeros((B,), _i32)
+        if rotations:
+            spread_eff = jnp.where(code, spread, 0)
+        else:
+            spread_eff = jnp.zeros((B,), _i32)
+        seg_t, idx, v = jax.lax.switch(
+            x["wclass"], branch_fns, seg_raw, K, b2n, spread_eff,
+            rec_n, td_n, x["u_row"], kmax_j)
+        seg = jnp.where(valid, seg_t, jnp.asarray(0.0, dt))
+
+        # ---- split: compute_theta (bands.c:700-903)
         N_half = Nj >> 1
         offset_q = (x["pulse_cap"] >> 1) - QTHETA_OFFSET
         qn = _compute_qn(N_half, b_in, offset_q, x["pulse_cap"])
@@ -1357,12 +1549,35 @@ def _quant_group(s: _Sched, X, pulses, coded_bands, total_bits_q3,
         tell0 = bc.tell_frac_rn(rng, nbt)
         has_theta = split & (qn != 1)
         itheta = (itheta_raw * qn + 8192) >> 14
+        if dyn:
+            # avoid_split_noise: first coded band of a transient frame
+            # biases near-zero thetas to exactly 0/qn
+            # (bands.c:716-732 via ctx->avoid_split_noise)
+            asn = transient & (x["band"] == start_band) & split \
+                & (itheta > 0) & (itheta < qn)
+            unq = (itheta * 16384) // jnp.maximum(qn, 1)
+            imid_a = _bitexact_cos(unq)
+            iside_a = _bitexact_cos(16384 - unq)
+            delta_a = _frac_mul16((N_half - 1) << 7,
+                                  _bitexact_log2tan(iside_a, imid_a))
+            itheta = jnp.where(asn & (delta_a > b_in), qn,
+                               jnp.where(asn & (delta_a < -b_in), 0,
+                                         itheta))
         half = qn >> 1
         ft = (half + 1) * (half + 1)
         low = itheta <= half
         fs = jnp.where(low, itheta + 1, qn + 1 - itheta)
         fl = jnp.where(low, itheta * (itheta + 1) >> 1,
                        ft - ((qn + 1 - itheta) * (qn + 2 - itheta) >> 1))
+        # B0 > 1 splits code the angle as a plain uint
+        # (bands.c:748-749); merged into the leaf/uint op below
+        m_tri = has_theta & (b2n == 1)
+        m_uth = has_theta & (b2n > 1)
+        u_val = jnp.where(m_uth, itheta.astype(jnp.uint32), idx)
+        u_ft = jnp.where(m_uth, (qn + 1).astype(jnp.uint32),
+                         jnp.maximum(v, np.uint32(2)))
+        rng, nbt, row1, row2 = bc.uint_rn(
+            rng, nbt, code | m_uth, u_val, u_ft)
 
         if s.stereo:
             # ==== stereo band root: compute_theta(stereo=1) + dual /
@@ -1401,7 +1616,7 @@ def _quant_group(s: _Sched, X, pulses, coded_bands, total_bits_q3,
             fh_s = jnp.where(le, p0 * (itheta_s + 1),
                              (itheta_s - x0) + (x0 + 1) * p0)
             # merged theta encode op: mono triangular | stereo p0
-            m_enc = jnp.where(is_st, theta_mask & ~is_n2, has_theta)
+            m_enc = jnp.where(is_st, theta_mask & ~is_n2, m_tri)
             e_fl = jnp.where(is_st, fl_s, fl)
             e_fh = jnp.where(is_st, fh_s, fl + fs)
             e_ft = jnp.where(is_st, ft_s, ft)
@@ -1478,7 +1693,7 @@ def _quant_group(s: _Sched, X, pulses, coded_bands, total_bits_q3,
             rem_n1 = rem_n1 - jnp.where(m_s2, 1 << BITRES, 0)
             row0 = jnp.where(row0[..., 0:1] != -1, row0, row_s1)
         else:
-            rng, nbt, row0 = bc.encode_rn(rng, nbt, has_theta, fl,
+            rng, nbt, row0 = bc.encode_rn(rng, nbt, m_tri, fl,
                                           fl + fs, ft)
         itheta_q14 = jnp.where(qn != 1,
                                (itheta * 16384) // jnp.maximum(qn, 1), 0)
@@ -1498,6 +1713,18 @@ def _quant_group(s: _Sched, X, pulses, coded_bands, total_bits_q3,
             jnp.where(itheta_q14 == 16384, 16384,
                       _frac_mul16((N_half - 1) << 7,
                                   _bitexact_log2tan(iside, imid))))
+        if dyn:
+            # B0 > 1: bias the mid/side split toward mid
+            # (bands.c:1003-1008), with the child's LM
+            lmc = x["lmk"] - 1
+            adj = split & (b2n > 1) & ((itheta_q14 & 0x3fff) != 0)
+            d_hi = delta - jnp.right_shift(delta, 4 - lmc)
+            d_lo = jnp.minimum(
+                0, delta + jnp.right_shift(
+                    jnp.left_shift(N_half, BITRES), 5 - lmc))
+            delta = jnp.where(adj,
+                              jnp.where(itheta_q14 > 8192, d_hi, d_lo),
+                              delta)
         half_b = b_post - delta
         mbits = jnp.maximum(0, jnp.minimum(b_post, half_b // 2))
         sbits = b_post - mbits
@@ -1552,18 +1779,31 @@ def _quant_group(s: _Sched, X, pulses, coded_bands, total_bits_q3,
         else:
             # generic two-window exchange: mono split halves at
             # +N/2, stereo root X/Y planes at +Wg — the transformed
-            # values are swapped in the same write
+            # values are swapped in the same write.  When the group
+            # has subtree-entry transforms, the (possibly transformed)
+            # segment is committed first so the partner-window read
+            # sees this node's transformed halves.
+            if dyn and bool(np.any(s.entry)):
+                Xg_base = jax.lax.dynamic_update_slice(
+                    cy["Xg"], seg_t.astype(dt),
+                    (jnp.int32(0), x["win"]))
+                segY_sw_raw = jax.lax.dynamic_slice_in_dim(
+                    Xg_base, x["win"] + x["poff"], NB, axis=1)
+            else:
+                Xg_base = cy["Xg"]
+                segY_sw_raw = segY_raw
             cw = jnp.where(is_st, Nj, Nj >> 1)
             cw_mask = col0[None, :] < cw
             tr_mask = st_go
-            A_base = jnp.where(valid & tr_mask[:, None], newX, seg_raw)
-            B_base = jnp.where(valid & tr_mask[:, None], newY, segY_raw)
+            A_base = jnp.where(valid & tr_mask[:, None], newX, seg_t)
+            B_base = jnp.where(valid & tr_mask[:, None], newY,
+                               segY_sw_raw)
             sw_st_phys = jnp.where(is_n2, sw_n2, sw_s) & st_go
             need_sw = jnp.where(is_st, sw_st_phys, split & swap)
             outA = jnp.where(cw_mask & need_sw[:, None], B_base, A_base)
             outB = jnp.where(cw_mask & need_sw[:, None], A_base, B_base)
             Xg_next = jax.lax.dynamic_update_slice(
-                cy["Xg"], outA.astype(dt), (jnp.int32(0), x["win"]))
+                Xg_base, outA.astype(dt), (jnp.int32(0), x["win"]))
             Xg_next = jax.lax.dynamic_update_slice(
                 Xg_next, outB.astype(dt),
                 (jnp.int32(0), x["win"] + x["poff"]))
@@ -1681,17 +1921,25 @@ def _dyn_follower(x3, nf, last0, end: int):
 def dynalloc_analysis_batch(bandLogE, oldBandE, effective_bytes,
                             t: Tables, lm: int, start: int, end: int,
                             lsb_depth: int, vbr: bool,
-                            constrained_vbr: bool, is_transient):
-    """Returns offsets (boost step counts, [B, nb] int32) for the
-    complexity-0 CBR path (bandLogE2 == bandLogE, no LFE, no surround).
-    bandLogE/oldBandE: [B, nb] (mono) or [B, C, nb] (stereo,
-    celt_encoder.c:1076-1086 channel coupling).  importance /
-    spread_weight are not needed (tf analysis and spreading are
-    disabled)."""
+                            constrained_vbr: bool, is_transient,
+                            bandLogE2=None, full: bool = False):
+    """celt_encoder.c:981-1185 (no LFE, no surround).  bandLogE /
+    oldBandE: [B, nb] (mono) or [B, C, nb] (stereo,
+    celt_encoder.c:1076-1086 channel coupling).  The follower runs on
+    ``bandLogE2`` (the secondMdct / short-block-offset energies) when
+    given, else on bandLogE — the complexity-0 path.
+
+    Returns offsets (boost step counts, [B, nb] int32); with ``full``
+    returns (offsets, maxDepth [B], importance [B, nb] i32,
+    spread_weight [B, nb] i32) for the default-quality tier."""
     dt = bandLogE.dtype
     if bandLogE.ndim == 2:
         bandLogE = bandLogE[:, None, :]
         oldBandE = oldBandE[:, None, :]
+        if bandLogE2 is not None:
+            bandLogE2 = bandLogE2[:, None, :]
+    if bandLogE2 is None:
+        bandLogE2 = bandLogE
     B, C, nb = bandLogE.shape
     widths = (t.e_bands[1:] - t.e_bands[:-1]).astype(np.int64)
     noise_floor = np.zeros(nb)
@@ -1701,11 +1949,35 @@ def dynalloc_analysis_batch(bandLogE, oldBandE, effective_bytes,
                           + 0.0062 * (i + 5) * (i + 5))
     nf = jnp.asarray(noise_floor, dt)
 
+    # maxDepth + spreading weights (celt_encoder.c:1000-1021): on the
+    # RAW bandLogE
+    maxDepth = jnp.max(
+        (bandLogE[:, :, :end] - nf[None, None, :end]).reshape(B, -1),
+        axis=1)
+    maxDepth = jnp.maximum(maxDepth, jnp.asarray(-31.9, dt))
+    mask = jnp.max(bandLogE[:, :, :end], axis=1) - nf[None, :end]
+    sig = mask
+    cols = [mask[:, 0]]
+    for i in range(1, end):
+        cols.append(jnp.maximum(mask[:, i], cols[i - 1] - 2.0))
+    for i in range(end - 2, -1, -1):
+        cols[i] = jnp.maximum(cols[i], cols[i + 1] - 3.0)
+    maskf = jnp.stack(cols, axis=1)
+    smr = sig - jnp.maximum(
+        jnp.maximum(jnp.asarray(0.0, dt), maxDepth - 12.0)[:, None],
+        maskf)
+    shift = jnp.clip(-jnp.floor(0.5 + smr).astype(_i32), 0, 5)
+    spread_weight = jnp.right_shift(32, shift).astype(_i32)
+    if spread_weight.shape[1] < nb:
+        spread_weight = jnp.pad(spread_weight,
+                                ((0, 0), (0, nb - end)),
+                                constant_values=32)
+
     gate = effective_bytes >= 30 + 5 * lm
     fs = []
     last = jnp.zeros((B,), jnp.int32)
     for ch in range(C):
-        x3 = bandLogE[:, ch, :end]
+        x3 = bandLogE2[:, ch, :end]
         if lm == 0:
             # at LM==0 the first 8 bands take max(new, old) energies
             # (celt_encoder.c:1022-1026)
@@ -1727,6 +1999,13 @@ def dynalloc_analysis_batch(bandLogE, oldBandE, effective_bytes,
     else:
         fol = jnp.maximum(jnp.asarray(0.0, dt),
                           bandLogE[:, 0, :end] - fs[0])
+    # importance BEFORE the halving (celt_encoder.c:1109-1111)
+    importance = jnp.floor(
+        0.5 + 13.0 * jnp.exp2(jnp.minimum(fol, 4.0))).astype(_i32)
+    importance = jnp.where(gate[:, None], importance, 13)
+    if importance.shape[1] < nb:
+        importance = jnp.pad(importance, ((0, 0), (0, nb - end)),
+                             constant_values=13)
     if (not vbr) or constrained_vbr:
         fol = jnp.where(is_transient[:, None], fol,
                         jnp.asarray(0.5, dt) * fol)
@@ -1744,7 +2023,14 @@ def dynalloc_analysis_batch(bandLogE, oldBandE, effective_bytes,
     offsets = jnp.zeros((B, nb), _i32)
     tot_boost = jnp.zeros((B,), _i32)
     stopped = jnp.zeros((B,), bool)
-    cap_gate = (not vbr) or constrained_vbr   # (&& !transient handled below)
+    # boost cap gate: !vbr || (constrained_vbr && !isTransient)
+    # (celt_encoder.c:1146-1152)
+    if not vbr:
+        cap_ok = jnp.ones((B,), bool)
+    elif constrained_vbr:
+        cap_ok = ~is_transient
+    else:
+        cap_ok = jnp.zeros((B,), bool)
     for i in range(start, end):
         w = C * int(widths[i]) << lm         # C * (eband width) << LM
         if w < 6:
@@ -1756,11 +2042,9 @@ def dynalloc_analysis_batch(bandLogE, oldBandE, effective_bytes,
         else:
             boost = (fol[:, i] * w / 6).astype(_i32)
             boost_bits = boost * 6 << BITRES
-        # (!vbr || (constrained_vbr && !isTransient)) — CBR: always on
         hit_cap = ((tot_boost + boost_bits) >> BITRES >> 3) \
             > 2 * effective_bytes // 3
-        cap_now = hit_cap & ~stopped if cap_gate \
-            else jnp.zeros_like(stopped)
+        cap_now = hit_cap & ~stopped & cap_ok
         capv = ((2 * effective_bytes // 3) << BITRES << 3)
         offsets = offsets.at[:, i].set(
             jnp.where(cap_now, capv - tot_boost,
@@ -1770,14 +2054,17 @@ def dynalloc_analysis_batch(bandLogE, oldBandE, effective_bytes,
                                         tot_boost + boost_bits))
         stopped = stopped | cap_now
     offsets = jnp.where(gate[:, None], offsets, 0)
+    tot_boost = jnp.where(gate, tot_boost, 0)
+    if full:
+        return offsets, maxDepth, importance, spread_weight, tot_boost
     return offsets
 
 
 def alloc_trim_batch(bandLogE, equiv_rate, end: int, exact: bool,
                      X=None, Y=None, lm: int = 3, intensity=None,
-                     stereo_saving=None):
-    """alloc_trim_analysis (celt_encoder.c:797-887) with
-    tf_estimate == 0 and no surround.
+                     stereo_saving=None, tf_estimate=None):
+    """alloc_trim_analysis (celt_encoder.c:797-887) with no surround;
+    tf_estimate [B] optional (0 at complexity 0).
 
     Mono: bandLogE [B, nb] -> trim index [B].
     Stereo: bandLogE [B, C, nb] plus the normalised spectra X/Y
@@ -1829,11 +2116,60 @@ def alloc_trim_batch(bandLogE, equiv_rate, end: int, exact: bool,
         diff = _seq_sum(bandLogE[:, :end - 1] * w[None, :], exact)
         diff = diff / (end - 1)
     trim = trim - jnp.clip((diff + 1.0) / 6, -2.0, 2.0)
+    if tf_estimate is not None:
+        trim = trim - 2.0 * tf_estimate
     trim_index = jnp.floor(0.5 + trim).astype(_i32)
     trim_index = jnp.clip(trim_index, 0, 10)
     if stereo:
         return trim_index, stereo_saving
     return trim_index
+
+
+def compute_vbr_batch(t: Tables, base_target, lm: int, equiv_rate,
+                      lastCodedBands, C: int, intensity, constrained,
+                      stereo_saving, tot_boost_q3, tf_estimate,
+                      pitch_change, maxDepth, temporal_vbr):
+    """compute_vbr (celt_encoder.c:1320-1429, float build, no surround
+    / LFE).  All [B] arrays; returns the target in 1/8-bit units."""
+    nb = len(t.e_bands) - 1
+    dt = maxDepth.dtype
+    eb = jnp.asarray(t.e_bands.astype(np.int32))
+    coded_bands = jnp.where(lastCodedBands != 0, lastCodedBands, nb)
+    coded_bins = _sel_row(eb, coded_bands) << lm
+    if C == 2:
+        coded_bins = coded_bins + (
+            _sel_row(eb, jnp.minimum(intensity, coded_bands)) << lm)
+    target = base_target
+    if C == 2:
+        coded_stereo_bands = jnp.minimum(intensity, coded_bands)
+        coded_stereo_dof = (_sel_row(eb, coded_stereo_bands) << lm) \
+            - coded_stereo_bands
+        max_frac = 0.8 * coded_stereo_dof.astype(dt) \
+            / coded_bins.astype(dt)
+        ss = jnp.minimum(stereo_saving, 1.0)
+        target = target - jnp.minimum(
+            max_frac * target.astype(dt),
+            (ss - 0.1) * (coded_stereo_dof << BITRES).astype(dt)
+        ).astype(_i32)
+    target = target + tot_boost_q3 - (19 << lm)
+    tf_calibration = 0.044
+    target = target + (2.0 * (tf_estimate - tf_calibration)
+                       * target.astype(dt)).astype(_i32)
+    bins = int(t.e_bands[nb - 2]) << lm
+    floor_depth = ((C * bins << BITRES) * maxDepth).astype(_i32)
+    floor_depth = jnp.maximum(floor_depth, target >> 2)
+    target = jnp.minimum(target, floor_depth)
+    if constrained:
+        target = base_target + (
+            0.67 * (target - base_target).astype(dt)).astype(_i32)
+    amount = 0.0000031 * jnp.clip(96000 - equiv_rate, 0, 32000
+                                  ).astype(dt)
+    tvbr_factor = temporal_vbr * amount
+    target = jnp.where(
+        tf_estimate < 0.2,
+        target + (tvbr_factor * target.astype(dt)).astype(_i32),
+        target)
+    return jnp.minimum(2 * base_target, target)
 
 
 def intensity_max_bands(end: int) -> int:
@@ -1905,33 +2241,55 @@ class CeltBatchState(NamedTuple):
     consec_transient: jnp.ndarray  # [B] int32
     intensity: object = None       # [B] int32 (stereo)
     stereo_saving: object = None   # [B] float (stereo)
+    # default-quality carries (complexity >= 1 compiles; None at c0)
+    spread_decision: object = None   # [B] i32 (init SPREAD_NORMAL)
+    tonal_average: object = None     # [B] i32 (init 256)
+    hf_average: object = None        # [B] i32
+    tapset_decision: object = None   # [B] i32
 
 
-def init_state(B: int, nb: int = 21, dtype=jnp.float32) -> CeltBatchState:
+def init_state(B: int, nb: int = 21, dtype=jnp.float32,
+               complexity: int = 0) -> CeltBatchState:
     z = jnp.zeros((B, nb), dtype)
+    extra = {}
+    if complexity >= 1:
+        extra = dict(spread_decision=jnp.full((B,), 2, _i32),
+                     tonal_average=jnp.full((B,), 256, _i32),
+                     hf_average=jnp.zeros((B,), _i32),
+                     tapset_decision=jnp.zeros((B,), _i32))
     return CeltBatchState(
         oldBandE=z, oldLogE=z - 28.0, oldLogE2=z - 28.0,
         energyError=z, delayedIntra=jnp.ones((B,), dtype),
         spec_avg=jnp.zeros((B,), dtype),
         lastCodedBands=jnp.zeros((B,), _i32),
-        consec_transient=jnp.zeros((B,), _i32))
+        consec_transient=jnp.zeros((B,), _i32), **extra)
 
 
 def plan_from_spectrum(X, bandLogE, state: CeltBatchState, nbytes,
                        silence, bitrate, lm: int = 3, start: int = 0,
                        end: int = 21, lsb_depth: int = 24,
-                       exact: bool = False):
-    """All post-transform encoder stages for mono/CBR/complexity-0.
+                       exact: bool = False, complexity: int = 0,
+                       X_short=None, bandLogE_short=None,
+                       is_transient=None, tf_estimate=None):
+    """All post-transform encoder stages for mono/CBR.
 
-    X: [B, N] unit-normalised spectrum; bandLogE: [B, nb] log energies;
-    nbytes: [B] int32 frame budget (already CBR-capped); silence: [B]
-    bool.  Returns (PlanCoder, new_state)."""
+    X: [B, N] unit-normalised LONG-block spectrum; bandLogE: [B, nb]
+    log energies; nbytes: [B] int32 frame budget (already CBR-capped);
+    silence: [B] bool.
+
+    ``complexity`` selects the decision set statically: 0 = the
+    round-2 constant set; >= 1 adds transient coding + short blocks
+    (pass X_short/bandLogE_short — the short-MDCT spectrum — plus the
+    transient_analysis_batch outputs); >= 2 tf_analysis; >= 3 the
+    spreading decision.  Returns (PlanCoder, new_state)."""
+    from . import batch_analysis as ban
     t = make_tables(lm, 1)
     B, nb = bandLogE.shape
     dt = bandLogE.dtype
     c = bc.plan_init(B, MAX_OPS)
     total_bits = nbytes * 8
     nb_available = nbytes
+    dq = complexity >= 1 and lm > 0        # default-quality compile
 
     # silence flag (tell==1 → always coded), then the tell jump
     c = bc.bit_logp(c, jnp.ones((B,), bool), silence.astype(_i32), 15)
@@ -1940,30 +2298,70 @@ def plan_from_spectrum(X, bandLogE, state: CeltBatchState, nbytes,
 
     # prefilter off at complexity<5 (celt_encoder.c:1694-1756 gate)
     c = bc.bit_logp(c, bc.tell(c) + 16 <= total_bits, 0, 1)
-    # transient off at complexity<1; still codes the flag when room
-    # (celt_encoder.c:844-851: only for LM > 0)
+    # transient flag (celt_encoder.c:844-851, 951-952: only LM > 0)
     if lm > 0:
         trans_room = bc.tell(c) + 3 <= total_bits
-        c = bc.bit_logp(c, trans_room, 0, 3)
+        if dq:
+            isT = is_transient & trans_room
+            c = bc.bit_logp(c, trans_room, isT.astype(_i32), 3)
+        else:
+            isT = jnp.zeros((B,), bool)
+            c = bc.bit_logp(c, trans_room, 0, 3)
         transient_got_disabled = (~trans_room).astype(_i32)
     else:
+        isT = jnp.zeros((B,), bool)
         transient_got_disabled = jnp.ones((B,), _i32)
+    if dq:
+        # per-stream MDCT selection (compute_mdcts ran both)
+        X = jnp.where(isT[:, None], X_short, X)
+        bandLogE = jnp.where(isT[:, None], bandLogE_short, bandLogE)
+        tfe = tf_estimate
+    else:
+        tfe = None
 
-    # temporal VBR follower (state parity; target unused in CBR)
+    # temporal VBR follower (state parity; target unused in CBR);
+    # short blocks subtract 0.5*LM (celt_encoder.c:924)
+    off_db = jnp.where(isT, jnp.asarray(0.5 * lm, dt),
+                       jnp.asarray(0.0, dt)) if dq else None
     follow = jnp.full((B,), -10.0, dt)
     frame_avg = jnp.zeros((B,), dt)
     for i in range(start, end):
-        follow = jnp.maximum(follow - 1.0, bandLogE[:, i])
+        e = bandLogE[:, i] - off_db if dq else bandLogE[:, i]
+        follow = jnp.maximum(follow - 1.0, e)
         frame_avg = frame_avg + follow
     frame_avg = frame_avg / (end - start)
     temporal_vbr = jnp.clip(frame_avg - state.spec_avg, -1.5, 3.0)
     spec_avg = state.spec_avg + 0.02 * temporal_vbr
 
     # dynalloc analysis on the pre-feedback energies
-    offsets_steps = dynalloc_analysis_batch(
-        bandLogE, state.oldBandE, nbytes, t, lm, start, end, lsb_depth,
-        vbr=False, constrained_vbr=False,
-        is_transient=jnp.zeros((B,), bool))
+    if dq:
+        (offsets_steps, maxDepth, importance, spread_weight,
+         tot_boost_an) = dynalloc_analysis_batch(
+                bandLogE, state.oldBandE, nbytes, t, lm, start, end,
+                lsb_depth, vbr=False, constrained_vbr=False,
+                is_transient=isT, full=True)
+    else:
+        offsets_steps = dynalloc_analysis_batch(
+            bandLogE, state.oldBandE, nbytes, t, lm, start, end,
+            lsb_depth, vbr=False, constrained_vbr=False,
+            is_transient=jnp.zeros((B,), bool))
+
+    # tf analysis (celt_encoder.c:959-992)
+    if dq:
+        if complexity >= 2:
+            lam = jnp.maximum(80, 20480 // nbytes + 2)
+            enable_tf = nbytes >= 15
+            tf_res_an, tf_sel_an = ban.tf_analysis_batch(
+                X[:, None, :], jnp.zeros((B,), _i32), isT, tfe, lam,
+                importance, lm, end, end, exact)
+            tf_fill = jnp.broadcast_to(isT.astype(_i32)[:, None],
+                                       (B, end))
+            tf_res = jnp.where(enable_tf[:, None], tf_res_an, tf_fill)
+            tf_select = jnp.where(enable_tf, tf_sel_an, 0)
+        else:
+            tf_res = jnp.broadcast_to(isT.astype(_i32)[:, None],
+                                      (B, end))
+            tf_select = jnp.zeros((B,), _i32)
 
     # energy-error feedback (celt_encoder.c:1939-1945)
     fb = jnp.abs(bandLogE - state.oldBandE) < 2.0
@@ -1983,8 +2381,38 @@ def plan_from_spectrum(X, bandLogE, state: CeltBatchState, nbytes,
         jnp.asarray(PRED_COEF[lm] * PRED_COEF[lm], dt)
         * state.delayedIntra + dist)
 
-    c = tf_encode_zeros(c, total_bits, lm, start, end)
-    c = spread_decision_c0(c, total_bits)
+    if dq:
+        c, tf_change, _ = tf_encode_batch(
+            c, tf_res, isT, tf_select, total_bits, lm, start, end)
+        # spreading decision (celt_encoder.c:1007-1033)
+        fits4 = bc.tell(c) + 4 <= total_bits
+        if complexity >= 3:
+            an_ok = (~isT) & (nb_available >= 10)
+            dec_an, tav2, hf2, tap2 = ban.spreading_decision_batch(
+                X[:, None, :], spread_weight,
+                jnp.zeros((B,), bool), state.tonal_average,
+                state.spread_decision, state.hf_average,
+                state.tapset_decision, end, lm, exact)
+            spread_dec = jnp.where(an_ok, dec_an, 2)
+            upd = fits4 & an_ok
+            tonal_average = jnp.where(upd, tav2, state.tonal_average)
+            hf_average = jnp.where(upd, hf2, state.hf_average)
+            tapset_decision = jnp.where(upd, tap2,
+                                        state.tapset_decision)
+        else:
+            spread_dec = jnp.full((B,), 2, _i32)     # SPREAD_NORMAL
+            tonal_average = state.tonal_average
+            hf_average = state.hf_average
+            tapset_decision = state.tapset_decision
+        spread_decision = jnp.where(fits4, spread_dec,
+                                    state.spread_decision)
+        c = bc.icdf(c, fits4, spread_dec,
+                    np.asarray(SPREAD_ICDF, np.int32), 5)
+    else:
+        c = tf_encode_zeros(c, total_bits, lm, start, end)
+        c = spread_decision_c0(c, total_bits)
+        tf_change = None
+        spread_decision = None
 
     total_bits_q3 = total_bits << BITRES
     c, offsets_q3, total_boost = dynalloc_coding(
@@ -1994,12 +2422,21 @@ def plan_from_spectrum(X, bandLogE, state: CeltBatchState, nbytes,
     equiv_rate = (nbytes * 8 * 50 << (3 - lm)) - 60 * ((400 >> lm) - 50)
     equiv_rate = jnp.minimum(equiv_rate,
                              bitrate - 60 * ((400 >> lm) - 50))
-    trim = alloc_trim_batch(bandLogE_fb, equiv_rate, end, exact)
+    trim = alloc_trim_batch(bandLogE_fb, equiv_rate, end, exact,
+                            tf_estimate=tfe)
     fits = bc.tell_frac(c) + (6 << BITRES) <= total_bits_q3 - total_boost
     trim = jnp.where(fits, trim, 5)
     c = bc.icdf(c, fits, trim, np.asarray(TRIM_ICDF, np.int32), 7)
 
     bits_q3 = total_bits_q3 - bc.tell_frac(c) - 1
+    if dq:
+        # anti-collapse reservation (celt_encoder.c:1156-1158)
+        anti_rsv = jnp.where(
+            isT & (lm >= 2) & (bits_q3 >= ((lm + 2) << BITRES)),
+            1 << BITRES, 0)
+        bits_q3 = bits_q3 - anti_rsv
+    else:
+        anti_rsv = jnp.zeros((B,), _i32)
     signal_bw = jnp.full((B,), end - 1, _i32)
     c, pulses, ebits, fine_pri, coded_bands, balance, _, _ = \
         compute_allocation_batch(c, t, offsets_q3, trim, bits_q3, lm,
@@ -2012,9 +2449,15 @@ def plan_from_spectrum(X, bandLogE, state: CeltBatchState, nbytes,
 
     c, oldBandE, error = fine_energy(c, oldBandE, error, ebits, start,
                                      end)
-    c = quant_all_bands_batch(c, X, pulses, coded_bands,
-                              nbytes * (8 << BITRES), balance, t, lm,
-                              start, end, exact)
+    c = quant_all_bands_batch(
+        c, X, pulses, coded_bands,
+        nbytes * (8 << BITRES) - anti_rsv, balance, t, lm,
+        start, end, exact, spread=spread_decision, transient=isT,
+        tf_change=tf_change, rotations=dq)
+    if dq:
+        # anti-collapse on/off bit (celt_encoder.c:1187-1189)
+        c = bc.bits(c, anti_rsv > 0,
+                    (state.consec_transient < 2).astype(_i32), 1)
     bits_left = nbytes * 8 - bc.tell(c)
     c, oldBandE, error = energy_finalise(c, oldBandE, error, ebits,
                                          fine_pri, bits_left, start, end)
@@ -2025,16 +2468,33 @@ def plan_from_spectrum(X, bandLogE, state: CeltBatchState, nbytes,
     energyError = jnp.clip(error, -0.5, 0.5)
     oldBandE = jnp.where(silence[:, None],
                          jnp.asarray(-28.0, dt), oldBandE)
+    if dq:
+        oldLogE = jnp.where(isT[:, None],
+                            jnp.minimum(state.oldLogE, oldBandE),
+                            oldBandE)
+        oldLogE2 = jnp.where(isT[:, None], state.oldLogE2,
+                             state.oldLogE)
+        consec = jnp.where(isT | (transient_got_disabled == 1),
+                           state.consec_transient + 1, 0)
+        extra = dict(spread_decision=spread_decision,
+                     tonal_average=tonal_average,
+                     hf_average=hf_average,
+                     tapset_decision=tapset_decision)
+    else:
+        oldLogE = oldBandE
+        oldLogE2 = state.oldLogE
+        consec = jnp.where(transient_got_disabled == 1,
+                           state.consec_transient + 1, 0)
+        extra = {}
     new_state = CeltBatchState(
         oldBandE=oldBandE,
-        oldLogE2=state.oldLogE,
-        oldLogE=oldBandE,
+        oldLogE2=oldLogE2,
+        oldLogE=oldLogE,
         energyError=energyError,
         delayedIntra=delayedIntra,
         spec_avg=spec_avg,
         lastCodedBands=lastCodedBands,
-        consec_transient=jnp.where(transient_got_disabled == 1,
-                                   state.consec_transient + 1, 0))
+        consec_transient=consec, **extra)
     return c, new_state
 
 
@@ -2044,12 +2504,19 @@ def tell_of(c: PlanCoder):
 
 plan_from_spectrum_jit = jax.jit(
     plan_from_spectrum,
-    static_argnames=("lm", "start", "end", "lsb_depth", "exact"))
+    static_argnames=("lm", "start", "end", "lsb_depth", "exact",
+                     "complexity"))
 
 
-def init_state_stereo(B: int, nb: int = 21,
-                      dtype=jnp.float32) -> CeltBatchState:
+def init_state_stereo(B: int, nb: int = 21, dtype=jnp.float32,
+                      complexity: int = 0) -> CeltBatchState:
     z = jnp.zeros((B, 2, nb), dtype)
+    extra = {}
+    if complexity >= 1:
+        extra = dict(spread_decision=jnp.full((B,), 2, _i32),
+                     tonal_average=jnp.full((B,), 256, _i32),
+                     hf_average=jnp.zeros((B,), _i32),
+                     tapset_decision=jnp.zeros((B,), _i32))
     return CeltBatchState(
         oldBandE=z, oldLogE=z - 28.0, oldLogE2=z - 28.0,
         energyError=z, delayedIntra=jnp.ones((B,), dtype),
@@ -2057,22 +2524,29 @@ def init_state_stereo(B: int, nb: int = 21,
         lastCodedBands=jnp.zeros((B,), _i32),
         consec_transient=jnp.zeros((B,), _i32),
         intensity=jnp.zeros((B,), _i32),
-        stereo_saving=jnp.zeros((B,), dtype))
+        stereo_saving=jnp.zeros((B,), dtype), **extra)
 
 
 def plan_from_spectrum_stereo(X, Y, bandLogE, bandE, state: CeltBatchState,
                               nbytes, silence, bitrate, lm: int = 3,
                               start: int = 0, end: int = 21,
                               lsb_depth: int = 24, exact: bool = False,
-                              disable_inv: bool = False):
-    """All post-transform encoder stages for stereo/CBR/complexity-0
+                              disable_inv: bool = False,
+                              complexity: int = 0, X_short=None,
+                              Y_short=None, bandLogE_short=None,
+                              bandE_short=None, is_transient=None,
+                              tf_estimate=None, tf_chan=None):
+    """All post-transform encoder stages for stereo/CBR
     (celt_encoder.c:1431-2356 with C == 2: intensity/dual-stereo
     decisions, C-doubled energy coding, the stereo band tree).
 
-    X/Y: [B, N] unit-normalised spectra; bandLogE: [B, 2, nb] log
-    energies; bandE: [B, 2, nb] raw band amplitudes (intensity_stereo
-    weights); nbytes: [B] int32 CBR budget; silence: [B] bool.
+    X/Y: [B, N] unit-normalised LONG-block spectra; bandLogE: [B, 2, nb]
+    log energies; bandE: [B, 2, nb] raw band amplitudes
+    (intensity_stereo weights); nbytes: [B] int32 CBR budget; silence:
+    [B] bool.  ``complexity`` as in ``plan_from_spectrum`` (>= 1 needs
+    the short-MDCT inputs + transient_analysis outputs incl. tf_chan).
     Returns (PlanCoder, new_state)."""
+    from . import batch_analysis as ban
     C = 2
     t = make_tables(lm, C)
     B, _, nb = bandLogE.shape
@@ -2080,6 +2554,7 @@ def plan_from_spectrum_stereo(X, Y, bandLogE, bandE, state: CeltBatchState,
     c = bc.plan_init(B, MAX_OPS)
     total_bits = nbytes * 8
     nb_available = nbytes
+    dq = complexity >= 1 and lm > 0
 
     # silence flag (tell==1 → always coded), then the tell jump
     c = bc.bit_logp(c, jnp.ones((B,), bool), silence.astype(_i32), 15)
@@ -2089,30 +2564,74 @@ def plan_from_spectrum_stereo(X, Y, bandLogE, bandE, state: CeltBatchState,
 
     # prefilter off at complexity<5 (celt_encoder.c:1694-1756 gate)
     c = bc.bit_logp(c, bc.tell(c) + 16 <= total_bits, 0, 1)
-    # transient off at complexity<1 (celt_encoder.c:844-851)
+    # transient flag (celt_encoder.c:844-851, 951-952)
     if lm > 0:
         trans_room = bc.tell(c) + 3 <= total_bits
-        c = bc.bit_logp(c, trans_room, 0, 3)
+        if dq:
+            isT = is_transient & trans_room
+            c = bc.bit_logp(c, trans_room, isT.astype(_i32), 3)
+        else:
+            isT = jnp.zeros((B,), bool)
+            c = bc.bit_logp(c, trans_room, 0, 3)
         transient_got_disabled = (~trans_room).astype(_i32)
     else:
+        isT = jnp.zeros((B,), bool)
         transient_got_disabled = jnp.ones((B,), _i32)
+    if dq:
+        X = jnp.where(isT[:, None], X_short, X)
+        Y = jnp.where(isT[:, None], Y_short, Y)
+        bandLogE = jnp.where(isT[:, None, None], bandLogE_short,
+                             bandLogE)
+        bandE = jnp.where(isT[:, None, None], bandE_short, bandE)
+        tfe = tf_estimate
+    else:
+        tfe = None
 
     # temporal VBR follower over both channels (celt_encoder.c:1860-75)
+    off_db = jnp.where(isT, jnp.asarray(0.5 * lm, dt),
+                       jnp.asarray(0.0, dt)) if dq else None
     follow = jnp.full((B,), -10.0, dt)
     frame_avg = jnp.zeros((B,), dt)
     for i in range(start, end):
-        follow = jnp.maximum(follow - 1.0, bandLogE[:, 0, i])
-        follow = jnp.maximum(follow, bandLogE[:, 1, i])
+        e0 = bandLogE[:, 0, i] - off_db if dq else bandLogE[:, 0, i]
+        e1 = bandLogE[:, 1, i] - off_db if dq else bandLogE[:, 1, i]
+        follow = jnp.maximum(follow - 1.0, e0)
+        follow = jnp.maximum(follow, e1)
         frame_avg = frame_avg + follow
     frame_avg = frame_avg / (end - start)
     temporal_vbr = jnp.clip(frame_avg - state.spec_avg, -1.5, 3.0)
     spec_avg = state.spec_avg + 0.02 * temporal_vbr
 
     # dynalloc analysis on the pre-feedback energies
-    offsets_steps = dynalloc_analysis_batch(
-        bandLogE, state.oldBandE, nbytes, t, lm, start, end, lsb_depth,
-        vbr=False, constrained_vbr=False,
-        is_transient=jnp.zeros((B,), bool))
+    if dq:
+        (offsets_steps, maxDepth, importance, spread_weight,
+         tot_boost_an) = dynalloc_analysis_batch(
+                bandLogE, state.oldBandE, nbytes, t, lm, start, end,
+                lsb_depth, vbr=False, constrained_vbr=False,
+                is_transient=isT, full=True)
+    else:
+        offsets_steps = dynalloc_analysis_batch(
+            bandLogE, state.oldBandE, nbytes, t, lm, start, end,
+            lsb_depth, vbr=False, constrained_vbr=False,
+            is_transient=jnp.zeros((B,), bool))
+
+    # tf analysis (celt_encoder.c:959-992)
+    if dq:
+        XY = jnp.stack([X, Y], axis=1)
+        if complexity >= 2:
+            lam = jnp.maximum(80, 20480 // nbytes + 2)
+            enable_tf = nbytes >= 15 * C
+            tf_res_an, tf_sel_an = ban.tf_analysis_batch(
+                XY, tf_chan, isT, tfe, lam, importance, lm, end, end,
+                exact)
+            tf_fill = jnp.broadcast_to(isT.astype(_i32)[:, None],
+                                       (B, end))
+            tf_res = jnp.where(enable_tf[:, None], tf_res_an, tf_fill)
+            tf_select = jnp.where(enable_tf, tf_sel_an, 0)
+        else:
+            tf_res = jnp.broadcast_to(isT.astype(_i32)[:, None],
+                                      (B, end))
+            tf_select = jnp.zeros((B,), _i32)
 
     # energy-error feedback (celt_encoder.c:1939-1945)
     fb = jnp.abs(bandLogE - state.oldBandE) < 2.0
@@ -2133,8 +2652,37 @@ def plan_from_spectrum_stereo(X, Y, bandLogE, bandE, state: CeltBatchState,
         jnp.asarray(PRED_COEF[lm] * PRED_COEF[lm], dt)
         * state.delayedIntra + dist)
 
-    c = tf_encode_zeros(c, total_bits, lm, start, end)
-    c = spread_decision_c0(c, total_bits)
+    if dq:
+        c, tf_change, _ = tf_encode_batch(
+            c, tf_res, isT, tf_select, total_bits, lm, start, end)
+        fits4 = bc.tell(c) + 4 <= total_bits
+        if complexity >= 3:
+            an_ok = (~isT) & (nb_available >= 10 * C)
+            dec_an, tav2, hf2, tap2 = ban.spreading_decision_batch(
+                XY, spread_weight, jnp.zeros((B,), bool),
+                state.tonal_average, state.spread_decision,
+                state.hf_average, state.tapset_decision, end, lm,
+                exact)
+            spread_dec = jnp.where(an_ok, dec_an, 2)
+            upd = fits4 & an_ok
+            tonal_average = jnp.where(upd, tav2, state.tonal_average)
+            hf_average = jnp.where(upd, hf2, state.hf_average)
+            tapset_decision = jnp.where(upd, tap2,
+                                        state.tapset_decision)
+        else:
+            spread_dec = jnp.full((B,), 2, _i32)
+            tonal_average = state.tonal_average
+            hf_average = state.hf_average
+            tapset_decision = state.tapset_decision
+        spread_decision = jnp.where(fits4, spread_dec,
+                                    state.spread_decision)
+        c = bc.icdf(c, fits4, spread_dec,
+                    np.asarray(SPREAD_ICDF, np.int32), 5)
+    else:
+        c = tf_encode_zeros(c, total_bits, lm, start, end)
+        c = spread_decision_c0(c, total_bits)
+        tf_change = None
+        spread_decision = None
 
     total_bits_q3 = total_bits << BITRES
     c, offsets_q3, total_boost = dynalloc_coding(
@@ -2158,13 +2706,21 @@ def plan_from_spectrum_stereo(X, Y, bandLogE, bandE, state: CeltBatchState,
 
     trim, stereo_saving = alloc_trim_batch(
         bandLogE_fb, equiv_rate, end, exact, X=X, Y=Y, lm=lm,
-        intensity=intensity, stereo_saving=state.stereo_saving)
+        intensity=intensity, stereo_saving=state.stereo_saving,
+        tf_estimate=tfe)
     fits = bc.tell_frac(c) + (6 << BITRES) <= total_bits_q3 - total_boost
     trim = jnp.where(fits, trim, 5)
     stereo_saving = jnp.where(fits, stereo_saving, state.stereo_saving)
     c = bc.icdf(c, fits, trim, np.asarray(TRIM_ICDF, np.int32), 7)
 
     bits_q3 = total_bits_q3 - bc.tell_frac(c) - 1
+    if dq:
+        anti_rsv = jnp.where(
+            isT & (lm >= 2) & (bits_q3 >= ((lm + 2) << BITRES)),
+            1 << BITRES, 0)
+        bits_q3 = bits_q3 - anti_rsv
+    else:
+        anti_rsv = jnp.zeros((B,), _i32)
     signal_bw = jnp.full((B,), end - 1, _i32)
     (c, pulses, ebits, fine_pri, coded_bands, balance, intensity,
      dual_stereo) = compute_allocation_batch(
@@ -2179,9 +2735,15 @@ def plan_from_spectrum_stereo(X, Y, bandLogE, bandE, state: CeltBatchState,
     c, oldBandE, error = fine_energy(c, oldBandE, error, ebits, start,
                                      end)
     c = quant_all_bands_batch(
-        c, X, pulses, coded_bands, nbytes * (8 << BITRES), balance, t,
+        c, X, pulses, coded_bands,
+        nbytes * (8 << BITRES) - anti_rsv, balance, t,
         lm, start, end, exact, Y=Y, intensity=intensity,
-        dual_stereo=dual_stereo, bandE=bandE, disable_inv=disable_inv)
+        dual_stereo=dual_stereo, bandE=bandE, disable_inv=disable_inv,
+        spread=spread_decision, transient=isT, tf_change=tf_change,
+        rotations=dq)
+    if dq:
+        c = bc.bits(c, anti_rsv > 0,
+                    (state.consec_transient < 2).astype(_i32), 1)
     bits_left = nbytes * 8 - bc.tell(c)
     c, oldBandE, error = energy_finalise(c, oldBandE, error, ebits,
                                          fine_pri, bits_left, start, end)
@@ -2192,25 +2754,42 @@ def plan_from_spectrum_stereo(X, Y, bandLogE, bandE, state: CeltBatchState,
     energyError = jnp.clip(error, -0.5, 0.5)
     oldBandE = jnp.where(silence[:, None, None],
                          jnp.asarray(-28.0, dt), oldBandE)
+    if dq:
+        oldLogE = jnp.where(isT[:, None, None],
+                            jnp.minimum(state.oldLogE, oldBandE),
+                            oldBandE)
+        oldLogE2 = jnp.where(isT[:, None, None], state.oldLogE2,
+                             state.oldLogE)
+        consec = jnp.where(isT | (transient_got_disabled == 1),
+                           state.consec_transient + 1, 0)
+        extra = dict(spread_decision=spread_decision,
+                     tonal_average=tonal_average,
+                     hf_average=hf_average,
+                     tapset_decision=tapset_decision)
+    else:
+        oldLogE = oldBandE
+        oldLogE2 = state.oldLogE
+        consec = jnp.where(transient_got_disabled == 1,
+                           state.consec_transient + 1, 0)
+        extra = {}
     new_state = CeltBatchState(
         oldBandE=oldBandE,
-        oldLogE2=state.oldLogE,
-        oldLogE=oldBandE,
+        oldLogE2=oldLogE2,
+        oldLogE=oldLogE,
         energyError=energyError,
         delayedIntra=delayedIntra,
         spec_avg=spec_avg,
         lastCodedBands=lastCodedBands,
-        consec_transient=jnp.where(transient_got_disabled == 1,
-                                   state.consec_transient + 1, 0),
+        consec_transient=consec,
         intensity=intensity,
-        stereo_saving=stereo_saving)
+        stereo_saving=stereo_saving, **extra)
     return c, new_state
 
 
 plan_from_spectrum_stereo_jit = jax.jit(
     plan_from_spectrum_stereo,
     static_argnames=("lm", "start", "end", "lsb_depth", "exact",
-                     "disable_inv"))
+                     "disable_inv", "complexity"))
 
 
 def cbr_bytes(bitrate: int, frame_size: int, fs: int,
@@ -2231,10 +2810,11 @@ class CeltStreamState(NamedTuple):
     overlap_max: jnp.ndarray    # [B]
 
 
-def init_stream_state(B: int, dtype=jnp.float32) -> CeltStreamState:
+def init_stream_state(B: int, dtype=jnp.float32,
+                      complexity: int = 0) -> CeltStreamState:
     m = standard_mode()
     return CeltStreamState(
-        celt=init_state(B, dtype=dtype),
+        celt=init_state(B, dtype=dtype, complexity=complexity),
         preemph_mem=jnp.zeros((B,), dtype),
         in_mem=jnp.zeros((B, m.overlap), dtype),
         overlap_max=jnp.zeros((B,), dtype))
@@ -2242,14 +2822,19 @@ def init_stream_state(B: int, dtype=jnp.float32) -> CeltStreamState:
 
 def celt_encode_batch_plan(pcm, st: CeltStreamState, nbytes, bitrate,
                            lm: int = 3, lsb_depth: int = 24,
-                           exact: bool = False):
+                           exact: bool = False, complexity: int = 0):
     """One 20 ms frame for a batch of mono streams: preemphasis, MDCT,
     band energies, normalisation (celt.batch matmul transforms) and the
     full symbol-planning pass.  pcm: [B, N] in [-1, 1].
 
-    Returns (PlanCoder, new_state)."""
+    With complexity >= 1 the transient analysis runs on the
+    preemphasised signal and BOTH block sizes are transformed (two
+    matmuls); the plan selects per stream.  Returns (PlanCoder,
+    new_state)."""
     from .batch import (band_energies_batch, mdct_forward_batch,
-                        normalise_batch, preemphasis_batch)
+                        mdct_forward_short_batch, normalise_batch,
+                        preemphasis_batch)
+    from . import batch_analysis as ban
     m = standard_mode()
     dt = pcm.dtype
     B, N = pcm.shape
@@ -2271,22 +2856,38 @@ def celt_encode_batch_plan(pcm, st: CeltStreamState, nbytes, bitrate,
     bandLogE = jnp.log2(bandE) - jnp.asarray(EMEANS[:21], dt)[None, :]
     X = normalise_batch(spec, bandE, lm)
 
+    kw = {}
+    if complexity >= 1 and lm > 0:
+        is_t, tfe, _tfc, _mm = ban.transient_analysis_batch(
+            inb[:, None, :], exact)
+        spec_s = mdct_forward_short_batch(inb, lm)
+        bandE_s = band_energies_batch(spec_s, lm)
+        bandLogE_s = jnp.log2(bandE_s) \
+            - jnp.asarray(EMEANS[:21], dt)[None, :]
+        X_s = normalise_batch(spec_s, bandE_s, lm)
+        kw = dict(X_short=X_s.astype(dt),
+                  bandLogE_short=bandLogE_s.astype(dt),
+                  is_transient=is_t, tf_estimate=tfe.astype(dt))
+
     c, celt2 = plan_from_spectrum(X.astype(dt), bandLogE.astype(dt),
                                   st.celt, nbytes, silence, bitrate,
-                                  lm=lm, lsb_depth=lsb_depth, exact=exact)
+                                  lm=lm, lsb_depth=lsb_depth,
+                                  exact=exact, complexity=complexity,
+                                  **kw)
     return c, CeltStreamState(celt=celt2, preemph_mem=pmem,
                               in_mem=in_mem2, overlap_max=new_ovm)
 
 
 celt_encode_batch_plan_jit = jax.jit(
     celt_encode_batch_plan,
-    static_argnames=("lm", "lsb_depth", "exact"))
+    static_argnames=("lm", "lsb_depth", "exact", "complexity"))
 
 
-def init_stream_state_stereo(B: int, dtype=jnp.float32) -> CeltStreamState:
+def init_stream_state_stereo(B: int, dtype=jnp.float32,
+                             complexity: int = 0) -> CeltStreamState:
     m = standard_mode()
     return CeltStreamState(
-        celt=init_state_stereo(B, dtype=dtype),
+        celt=init_state_stereo(B, dtype=dtype, complexity=complexity),
         preemph_mem=jnp.zeros((B, 2), dtype),
         in_mem=jnp.zeros((B, 2, m.overlap), dtype),
         overlap_max=jnp.zeros((B,), dtype))
@@ -2295,13 +2896,16 @@ def init_stream_state_stereo(B: int, dtype=jnp.float32) -> CeltStreamState:
 def celt_encode_batch_plan_stereo(pcm, st: CeltStreamState, nbytes,
                                   bitrate, lm: int = 3,
                                   lsb_depth: int = 24,
-                                  exact: bool = False):
+                                  exact: bool = False,
+                                  complexity: int = 0):
     """One frame for a batch of *stereo* streams: per-channel
     preemphasis/MDCT/band energies (celt.batch matmuls over the
     flattened [2B] channel axis) and the stereo symbol-planning pass.
     pcm: [B, 2, N] in [-1, 1].  Returns (PlanCoder, new_state)."""
     from .batch import (band_energies_batch, mdct_forward_batch,
-                       normalise_batch, preemphasis_batch)
+                        mdct_forward_short_batch, normalise_batch,
+                        preemphasis_batch)
+    from . import batch_analysis as ban
     m = standard_mode()
     dt = pcm.dtype
     B, C, N = pcm.shape
@@ -2329,10 +2933,27 @@ def celt_encode_batch_plan_stereo(pcm, st: CeltStreamState, nbytes,
     bandE = bandE2.reshape(B, C, -1)
     bandLogE = bandLogE2.reshape(B, C, -1)
 
+    kw = {}
+    if complexity >= 1 and lm > 0:
+        is_t, tfe, tfc, _mm = ban.transient_analysis_batch(
+            inb.reshape(B, C, N + ov), exact)
+        spec_s = mdct_forward_short_batch(inb, lm)
+        bandE_s2 = band_energies_batch(spec_s, lm)
+        bandLogE_s2 = jnp.log2(bandE_s2) \
+            - jnp.asarray(EMEANS[:21], dt)[None, :]
+        Xs = normalise_batch(spec_s, bandE_s2, lm).reshape(B, C, Nf)
+        kw = dict(X_short=Xs[:, 0].astype(dt),
+                  Y_short=Xs[:, 1].astype(dt),
+                  bandLogE_short=bandLogE_s2.reshape(B, C, -1
+                                                     ).astype(dt),
+                  bandE_short=bandE_s2.reshape(B, C, -1).astype(dt),
+                  is_transient=is_t, tf_estimate=tfe.astype(dt),
+                  tf_chan=tfc)
+
     c, celt2 = plan_from_spectrum_stereo(
         Xn[:, 0].astype(dt), Xn[:, 1].astype(dt), bandLogE.astype(dt),
         bandE.astype(dt), st.celt, nbytes, silence, bitrate, lm=lm,
-        lsb_depth=lsb_depth, exact=exact)
+        lsb_depth=lsb_depth, exact=exact, complexity=complexity, **kw)
     return c, CeltStreamState(celt=celt2,
                               preemph_mem=pmem2.reshape(B, C),
                               in_mem=in_mem2, overlap_max=new_ovm)
@@ -2340,4 +2961,4 @@ def celt_encode_batch_plan_stereo(pcm, st: CeltStreamState, nbytes,
 
 celt_encode_batch_plan_stereo_jit = jax.jit(
     celt_encode_batch_plan_stereo,
-    static_argnames=("lm", "lsb_depth", "exact"))
+    static_argnames=("lm", "lsb_depth", "exact", "complexity"))

@@ -19,9 +19,11 @@ from opus_codec_tpu.batch_api import CeltBatchEncoder  # noqa: E402
 
 B = int(sys.argv[1]) if len(sys.argv) > 1 else 4096
 bitrate = int(sys.argv[2]) if len(sys.argv) > 2 else 64000
+complexity = int(sys.argv[3]) if len(sys.argv) > 3 else 0
 N = 960
 
-enc = CeltBatchEncoder(B, bitrate=bitrate, channels=2)
+enc = CeltBatchEncoder(B, bitrate=bitrate, channels=2,
+                       complexity=complexity)
 rng = np.random.default_rng(0)
 t = np.arange(N) / 48000.0
 freqs = 100.0 + rng.uniform(0, 4000, size=(B, 1))
@@ -58,5 +60,5 @@ outs = [enc.encode_device_packed(dev[s % 4]) for s in range(steps)]
 np.asarray(outs[-1][:1])
 dt = (time.perf_counter() - t0) / steps
 rtf = B * (N / 48000.0) / dt
-print(f"B={B} bitrate={bitrate} stereo: {dt*1e3:.1f} ms/step, "
+print(f"B={B} bitrate={bitrate} c={complexity} stereo: {dt*1e3:.1f} ms/step, "
       f"device_rtf={rtf:.1f}x  (north star 1250x/chip)")
