@@ -232,8 +232,8 @@ def main():
             e2e_rtf = B * steps * (N / 48000.0) / dt
         return e2e_rtf, device_rtf, upload_mbps
 
-    B = int(os.environ.get("BENCH_B", "4096"))
-    steps = int(os.environ.get("BENCH_STEPS", "16"))
+    B = int(os.environ.get("BENCH_B", "8192"))
+    steps = int(os.environ.get("BENCH_STEPS", "12"))
     # headline: the north-star unit — stereo 20 ms
     e2e_st, dev_st, up_st = run_lane(2, B, steps, measure_tunnel=True)
     # secondary: the mono lane tracked since round 2

@@ -24,9 +24,10 @@ __all__ = ["CeltBatchEncoder", "CeltBatchDecoder", "OpusBatchEncoder"]
 
 class CeltBatchEncoder:
     """CELT-only batched encoder: B concurrent 48 kHz mono or stereo
-    streams, CBR (the flagship batched pipeline; mirrors the scalar
-    Encoder's CELT mode at complexity 0, incl. the stereo
-    theta/intensity/dual-stereo band tree for channels == 2).
+    streams (the flagship batched pipeline; mirrors the scalar
+    Encoder's CELT mode at the given complexity (0-3: transients /
+    short blocks / tf analysis / spreading), CBR or VBR, incl. the
+    stereo theta/intensity/dual-stereo band tree for channels == 2).
 
     encode(pcm [B, frame_size] mono / [B, 2, frame_size] or interleaved
     [B, 2*frame_size] stereo) -> (packets, final_ranges).
@@ -35,7 +36,8 @@ class CeltBatchEncoder:
     def __init__(self, batch: int, bitrate: int = 64000,
                  sample_rate: int = 48000, frame_size: int = 960,
                  exact: bool = False, channels: int = 1,
-                 complexity: int = 0):
+                 complexity: int = 0, vbr: bool = False,
+                 constrained_vbr: bool = True):
         import jax.numpy as jnp
 
         from .celt import batch_encoder as be
@@ -53,16 +55,22 @@ class CeltBatchEncoder:
         self.frame_size = frame_size
         self.channels = channels
         self.complexity = int(complexity)
+        self.vbr = bool(vbr)
+        self.constrained_vbr = bool(constrained_vbr)
         self.lm = lm
-        self.nbytes = be.cbr_bytes(bitrate, self.frame_size, sample_rate,
-                                   1275)
+        # CBR: the per-frame byte count; VBR: the byte CAP fed to the
+        # plan (opus_encoder.c's 1275 >> (3-LM) ceiling applies inside)
+        self.nbytes = 1275 >> (3 - lm) if vbr else be.cbr_bytes(
+            bitrate, self.frame_size, sample_rate, 1275)
         self.exact = exact
         dtype = jnp.float64 if exact else jnp.float32
         self.state = be.init_stream_state(
-            batch, dtype=dtype, complexity=self.complexity) \
+            batch, dtype=dtype, complexity=self.complexity,
+            vbr=self.vbr) \
             if channels == 1 else \
             be.init_stream_state_stereo(batch, dtype=dtype,
-                                        complexity=self.complexity)
+                                        complexity=self.complexity,
+                                        vbr=self.vbr)
         self._nbytes_dev = jnp.full((batch,), self.nbytes, jnp.int32)
         self._bitrate_dev = jnp.full((batch,), bitrate, jnp.int32)
         self._toc = pkt.gen_toc(CodecMode.CELT_ONLY, 400 >> lm,
@@ -90,9 +98,15 @@ class CeltBatchEncoder:
         pcm = self._shape_pcm(self._jnp.asarray(pcm))
         fn = self._be.celt_encode_batch_plan_jit if self.channels == 1 \
             else self._be.celt_encode_batch_plan_stereo_jit
-        c, self.state = fn(
+        out = fn(
             pcm, self.state, self._nbytes_dev, self._bitrate_dev,
-            lm=self.lm, exact=self.exact, complexity=self.complexity)
+            lm=self.lm, exact=self.exact, complexity=self.complexity,
+            vbr=self.vbr, constrained_vbr=self.constrained_vbr)
+        if self.vbr:
+            c, self.state, self._sizes = out
+        else:
+            c, self.state = out
+            self._sizes = None
         return c
 
     def pack(self, c) -> Tuple[List[bytes], np.ndarray]:
@@ -100,17 +114,20 @@ class CeltBatchEncoder:
         from . import runtime as rt
         ops = np.asarray(c.ops)
         counts = np.full(self.batch, ops.shape[1], np.int32)
-        sizes = np.full(self.batch, self.nbytes, np.int32)
+        sizes = np.asarray(self._sizes, np.int32) \
+            if getattr(self, "_sizes", None) is not None \
+            else np.full(self.batch, self.nbytes, np.int32)
         if rt.native_available():
             out, rngs = rt.encode_plan_batch_strided(ops, counts, sizes)
-            packets = [bytes([self._toc]) + out[b].tobytes()
+            packets = [bytes([self._toc])
+                       + out[b][:sizes[b]].tobytes()
                        for b in range(self.batch)]
         else:                      # scalar fallback lane
             from .bitstream.range_coder import RangeEncoder
             packets = []
             rngs = np.zeros(self.batch, np.uint32)
             for b in range(self.batch):
-                enc = RangeEncoder(self.nbytes)
+                enc = RangeEncoder(int(sizes[b]))
                 for row in ops[b]:
                     kind, a, _bv, cv = (int(v) for v in row)
                     if kind < 0:
@@ -153,22 +170,32 @@ class CeltBatchEncoder:
                 else be.celt_encode_batch_plan_stereo
 
             cplx = self.complexity
+            vbr = self.vbr
+            cvbr = self.constrained_vbr
 
             def run(pcm, state, nb, br):
                 if pcm.dtype == jnp.int16:
                     # int16 API lane: halves the host->device traffic
                     pcm = pcm.astype(jnp.float32) * (1.0 / 32768.0)
-                c, st2 = plan_fn(
+                pout = plan_fn(
                     pcm, state, nb, br, lm=lm, exact=exact,
-                    complexity=cplx)
-                out, rng = bp.pack_plan_device(c.ops, nb, nbytes)
+                    complexity=cplx, vbr=vbr, constrained_vbr=cvbr)
+                if vbr:
+                    c, st2, sizes = pout
+                else:
+                    (c, st2), sizes = pout, nb
+                out, rng = bp.pack_plan_device(c.ops, sizes, nbytes)
                 # one fused uint8 payload: bytes + little-endian final
-                # range per row — a single tunnel round trip fetches
-                # everything
+                # range + per-stream size per row — a single tunnel
+                # round trip fetches everything
                 rng_le = jnp.stack(
                     [(rng >> (8 * k)).astype(jnp.uint8)
                      for k in range(4)], axis=1)
-                return jnp.concatenate([out, rng_le], axis=1), st2
+                sz_le = jnp.stack(
+                    [(sizes >> (8 * k)).astype(jnp.uint8)
+                     for k in range(2)], axis=1)
+                return jnp.concatenate([out, rng_le, sz_le],
+                                       axis=1), st2
 
             self._packed_fn = jax.jit(run)
         payload, self.state = self._packed_fn(
@@ -176,15 +203,18 @@ class CeltBatchEncoder:
         return payload
 
     def split_payload(self, payload_host: np.ndarray):
-        """Fetched [B, nbytes+4] uint8 payload -> (packets, ranges)."""
+        """Fetched [B, nbytes+6] uint8 payload -> (packets, ranges):
+        packet bytes, then LE32 final range, then LE16 per-stream
+        size (== nbytes at CBR)."""
         ob = payload_host[:, :self.nbytes]
-        rngs = payload_host[:, self.nbytes:].astype(np.uint64)
-        rngs = (rngs[:, 0] | (rngs[:, 1] << 8) | (rngs[:, 2] << 16)
-                | (rngs[:, 3] << 24))
+        tail = payload_host[:, self.nbytes:].astype(np.uint64)
+        rngs = (tail[:, 0] | (tail[:, 1] << 8) | (tail[:, 2] << 16)
+                | (tail[:, 3] << 24))
+        sizes = (tail[:, 4] | (tail[:, 5] << 8)).astype(np.int64)
         self.final_ranges = rngs
         toc = bytes([self._toc])
-        return ([toc + ob[b].tobytes() for b in range(self.batch)],
-                rngs)
+        return ([toc + ob[b, :sizes[b]].tobytes()
+                 for b in range(self.batch)], rngs)
 
     def encode_packed(self, pcm) -> Tuple[List[bytes], np.ndarray]:
         """PCM in, packets out via the device packer."""
@@ -200,6 +230,9 @@ class CeltBatchEncoder:
         import jax
 
         from .celt import batch_pack as bp
+        if self.vbr:
+            raise OpusError.bad_arg(
+                "sequence-parallel frames lane is CBR-only")
         pcm_frames = self._jnp.asarray(pcm_frames)
         if self._frames_fn is None:
             import jax.numpy as jnp
@@ -219,7 +252,7 @@ class CeltBatchEncoder:
                 def body(st, pcm):
                     c, st = plan_fn(
                         pcm, st, nb, br, lm=lm, exact=exact,
-                        complexity=cplx)
+                        complexity=cplx)   # CBR-only lane
                     out, rng = bp.pack_plan_device(c.ops, nb, nbytes)
                     return st, (out, rng)
 
@@ -318,39 +351,6 @@ class CeltBatchDecoder:
         return np.asarray(self.decode_step_device(self.parse(packets)))
 
 
-class _ScalarSilkLane:
-    """Per-stream scalar SILK-mode encoders behind the bucket API.
-
-    Stop-gap lane until the batched SILK encoder front half lands: the
-    bucketing/scatter contract (SURVEY §7 step 6) is mode-agnostic, so
-    swapping in a device lane later changes nothing at this seam."""
-
-    def __init__(self, configs, sample_rate: int, frame_size: int):
-        from .api import Encoder
-        from .types import Application, Bandwidth, Bitrate, Signal
-        self.frame_size = frame_size
-        self.encoders = []
-        for c in configs:
-            e = Encoder(sample_rate, 1, Application.VOIP)
-            e.set_bitrate(Bitrate(c["bitrate"]))
-            e.set_signal(Signal.VOICE)
-            e.set_max_bandwidth(Bandwidth(
-                c.get("bandwidth", Bandwidth.WIDEBAND)))
-            e.set_complexity(c.get("complexity", 2))
-            if not c.get("vbr", False):
-                e.set_vbr(False)
-            self.encoders.append(e)
-
-    def encode(self, pcm) -> List[bytes]:
-        out = []
-        for e, row in zip(self.encoders, np.asarray(pcm)):
-            if row.dtype == np.int16:
-                out.append(e.encode(row))
-            else:
-                out.append(e.encode_float(np.asarray(row, np.float32)))
-        return out
-
-
 class OpusBatchEncoder:
     """Mixed-mode batched encoder: B streams with per-stream codec
     mode/bitrate, routed through per-bucket batched lanes (EP-style —
@@ -358,32 +358,40 @@ class OpusBatchEncoder:
     a fleet mixes voice and music streams).
 
     configs: one dict per stream:
-      {"mode": "celt" | "silk", "bitrate": int, ...}
-    CELT buckets (one per distinct bitrate) run on the device lane
-    (``CeltBatchEncoder``); SILK buckets run the scalar encoder per
-    stream until the batched SILK encoder lands.  ``encode`` scatters
-    packets back to stream order.
+      {"mode": "celt" | "silk", "bitrate": int,
+       "complexity": int?, "vbr": bool?, ...}
+    Buckets form per distinct (mode, bitrate, complexity, vbr).  CELT
+    buckets run the device lane (``CeltBatchEncoder`` — incl. the
+    default-quality decision set and VBR); SILK buckets run
+    ``SilkBatchEncoder`` (device NSQ/NLSF/LTP kernels, byte-identical
+    to the scalar encoder).  ``encode`` scatters packets back to
+    stream order.
     """
 
     def __init__(self, configs, sample_rate: int = 48000,
                  frame_size: int = 960, exact: bool = False):
         from .parallel.pipeline import bucket_by
+        from .silk.batch_encoder import SilkBatchEncoder
         self.configs = list(configs)
         self.batch = len(self.configs)
-        keys = [(c["mode"], int(c["bitrate"])) for c in self.configs]
+        keys = [(c["mode"], int(c["bitrate"]),
+                 int(c.get("complexity", 9 if c["mode"] == "silk"
+                           else 0)),
+                 bool(c.get("vbr", False))) for c in self.configs]
         self.buckets = bucket_by(keys)
         self.lanes = {}
         for key, idx in self.buckets.items():
-            mode, bitrate = key
+            mode, bitrate, cplx, vbr = key
             if mode == "celt":
                 self.lanes[key] = CeltBatchEncoder(
                     len(idx), bitrate=bitrate,
                     sample_rate=sample_rate, frame_size=frame_size,
-                    exact=exact)
+                    exact=exact, complexity=cplx, vbr=vbr)
             elif mode == "silk":
-                self.lanes[key] = _ScalarSilkLane(
-                    [self.configs[i] for i in idx], sample_rate,
-                    frame_size)
+                self.lanes[key] = SilkBatchEncoder(
+                    len(idx), bitrate=bitrate,
+                    sample_rate=sample_rate, frame_size=frame_size,
+                    complexity=cplx, vbr=vbr)
             else:
                 raise OpusError.bad_arg(f"unknown mode {mode!r}")
 

@@ -14,12 +14,17 @@ tree). The scalar modules in this package are the tested ground truth;
 on a float64 backend this planner reproduces their bitstreams exactly.
 
 Scope: mono and stereo (round 4: compute_theta/intensity/dual-stereo
-band tree), 20 ms (LM=3), CBR, complexity-0 decision set (no
-transient/prefilter/tf-analysis/spreading — all coded as their
-low-complexity values, exactly as the scalar encoder at complexity 0).
-Round 5 adds the default-quality decision set behind ``complexity``:
-transient analysis + short blocks, tf_analysis/tf_encode and
-spreading_decision (see ``plan_from_spectrum``'s complexity arg).
+band tree), every frame size (LM 0-3).  The ``complexity`` static arg
+selects the decision set exactly as the scalar encoder's knob: 0 = the
+constant low-complexity set; >= 1 transient analysis + short blocks +
+anti-collapse; >= 2 tf_analysis; >= 3 the spreading decision (with
+spreading rotations on the PVQ leaves).  ``vbr``/``constrained_vbr``
+enable the round-5 batched VBR: compute_vbr target + the
+ec_enc_shrink budget replanning with per-stream final packet sizes
+and the reservoir/drift/offset carries.  Still host-side: the
+prefilter/pitch path (complexity >= 5) and two-pass coarse energy
+(complexity >= 4) — the batched lane currently matches the scalar
+encoder at complexity <= 3.
 """
 
 from __future__ import annotations
@@ -1332,10 +1337,20 @@ def _quant_group(s: _Sched, X, pulses, coded_bands, total_bits_q3,
         def f(seg, K, b2n, spread_eff, rec, td, u_row, kmax_j):
             idx = jnp.zeros((B,), jnp.uint32)
             v = jnp.full((B,), 2, jnp.uint32)
+            emid = jnp.zeros((B,), dt)
+            eside = jnp.zeros((B,), dt)
             if entry and dyn:
                 seg = ban.apply_band_combo(
                     seg, transient, rec, td, W, lm, exact)
             if leafable and W >= 2:
+                # split-theta energies at the true width (the trailing
+                # zero-padding the full-width sum would add is exact
+                # under sequential summation: x + 0 == x)
+                h = W >> 1
+                emid = jnp.asarray(EPSILON, dt) + _seq_sum(
+                    seg[:, :h] * seg[:, :h], exact)
+                eside = jnp.asarray(EPSILON, dt) + _seq_sum(
+                    seg[:, h:2 * h] * seg[:, h:2 * h], exact)
                 segW = seg[:, :W]
                 if rotations:
                     segW = ban.exp_rotation_enc_multi(
@@ -1344,7 +1359,7 @@ def _quant_group(s: _Sched, X, pulses, coded_bands, total_bits_q3,
                 iy = _pvq_search_node(segW, jnp.maximum(K, 1), validW,
                                       W, kmax_j, exact)
                 idx, v = _icwrs_node(iy, u_parts_W, u_row, W)
-            return seg, idx, v
+            return seg, idx, v, emid, eside
 
         return f
 
@@ -1397,13 +1412,12 @@ def _quant_group(s: _Sched, X, pulses, coded_bands, total_bits_q3,
         xs["a1"] = jnp.take(a1_all, jnp.asarray(s.band), axis=1).T
         xs["a2"] = jnp.take(a2_all, jnp.asarray(s.band), axis=1).T
 
-    zi = jnp.zeros((B, n), _i32)
+    # one packed [B, n, 8] child-state store: a single gather/update
+    # per step instead of seven (slots: split, act2, mbits, sbits,
+    # swap, itheta, snap, unused)
     carry0 = dict(
         rng=rng0, nbt=nbt0, balance=balance0, rem=rem0, Xg=Xg0,
-        split_arr=jnp.zeros((B, n), bool),
-        act2_arr=jnp.zeros((B, n), bool),
-        mbits_arr=zi, sbits_arr=zi, swap_arr=jnp.zeros((B, n), bool),
-        itheta_arr=zi, snap_arr=zi)
+        node_st=jnp.zeros((B, n, 8), _i32))
 
     def step(cy, x):
         rng, nbt = cy["rng"], cy["nbt"]
@@ -1428,20 +1442,17 @@ def _quant_group(s: _Sched, X, pulses, coded_bands, total_bits_q3,
         b_root = jnp.where(act_band, b_root, 0)
         balance = jnp.where(is_root, balance + pulses_i + tellf, balance)
 
-        # ---- child state from the parent's buffers
+        # ---- child state from the parent's packed row
         par = x["parent"]
-
-        def g(name):
-            return jax.lax.dynamic_slice_in_dim(
-                cy[name], par, 1, axis=1)[:, 0]
-
-        p_split = g("split_arr")
-        p_act2 = g("act2_arr")
-        p_mb = g("mbits_arr")
-        p_sb = g("sbits_arr")
-        p_sw = g("swap_arr")
-        p_it = g("itheta_arr")
-        p_snap = g("snap_arr")
+        prow = jax.lax.dynamic_slice_in_dim(
+            cy["node_st"], par, 1, axis=1)[:, 0]      # [B, 8]
+        p_split = prow[:, 0] == 1
+        p_act2 = prow[:, 1] == 1
+        p_mb = prow[:, 2]
+        p_sb = prow[:, 3]
+        p_sw = prow[:, 4] == 1
+        p_it = prow[:, 5]
+        p_snap = prow[:, 6]
         is2 = x["is_second"] == 1
         first_b = jnp.where(p_sw, p_sb, p_mb)
         second_b = jnp.where(p_sw, p_mb, p_sb)
@@ -1528,21 +1539,16 @@ def _quant_group(s: _Sched, X, pulses, coded_bands, total_bits_q3,
             spread_eff = jnp.where(code, spread, 0)
         else:
             spread_eff = jnp.zeros((B,), _i32)
-        seg_t, idx, v = jax.lax.switch(
+        seg_t, idx, v, emid, eside = jax.lax.switch(
             x["wclass"], branch_fns, seg_raw, K, b2n, spread_eff,
             rec_n, td_n, x["u_row"], kmax_j)
         seg = jnp.where(valid, seg_t, jnp.asarray(0.0, dt))
 
-        # ---- split: compute_theta (bands.c:700-903)
+        # ---- split: compute_theta (bands.c:700-903); emid/eside come
+        # width-exact from the branch
         N_half = Nj >> 1
         offset_q = (x["pulse_cap"] >> 1) - QTHETA_OFFSET
         qn = _compute_qn(N_half, b_in, offset_q, x["pulse_cap"])
-        in_mid = col0[None, :] < N_half
-        in_side = valid & ~in_mid & (col0[None, :] < 2 * N_half)
-        emid = jnp.asarray(EPSILON, dt) + _seq_sum(
-            jnp.where(in_mid, seg * seg, 0.0), exact)
-        eside = jnp.asarray(EPSILON, dt) + _seq_sum(
-            jnp.where(in_side, seg * seg, 0.0), exact)
         itheta_raw = jnp.floor(
             0.5 + 16384 * (2 / math.pi)
             * jnp.arctan2(jnp.sqrt(eside), jnp.sqrt(emid))).astype(_i32)
@@ -1815,24 +1821,19 @@ def _quant_group(s: _Sched, X, pulses, coded_bands, total_bits_q3,
             rng, nbt, rowN1 = bc.bits_rn(rng, nbt, n1_has, sign, 1)
             row0 = jnp.where(is_n1, rowN1, row0)
 
-        # ---- store this node's state for its children
-        def setcol(arr, valv):
-            return jax.lax.dynamic_update_slice(
-                arr, valv[:, None].astype(arr.dtype),
-                (jnp.int32(0), nid))
-
+        # ---- store this node's state for its children (one write)
+        nrow = jnp.stack(
+            [act1.astype(_i32), act2.astype(_i32), mbits, sbits,
+             swap.astype(_i32), itheta_q14, rem_post,
+             jnp.zeros_like(mbits)], axis=1)           # [B, 8]
         cy2 = dict(cy)
         cy2["rng"], cy2["nbt"] = rng, nbt
         cy2["balance"] = balance
         cy2["rem"] = rem_post
         cy2["Xg"] = Xg_next
-        cy2["split_arr"] = setcol(cy["split_arr"], act1)
-        cy2["act2_arr"] = setcol(cy["act2_arr"], act2)
-        cy2["mbits_arr"] = setcol(cy["mbits_arr"], mbits)
-        cy2["sbits_arr"] = setcol(cy["sbits_arr"], sbits)
-        cy2["swap_arr"] = setcol(cy["swap_arr"], swap)
-        cy2["itheta_arr"] = setcol(cy["itheta_arr"], itheta_q14)
-        cy2["snap_arr"] = setcol(cy["snap_arr"], rem_post)
+        cy2["node_st"] = jax.lax.dynamic_update_slice(
+            cy["node_st"], nrow[:, None, :],
+            (jnp.int32(0), nid, jnp.int32(0)))
         if s.stereo:
             row1 = jnp.where(row1[..., 0:1] != -1, row1, row_u2)
             row1 = jnp.where(row1[..., 0:1] != -1, row1, row_s2)
@@ -2246,10 +2247,15 @@ class CeltBatchState(NamedTuple):
     tonal_average: object = None     # [B] i32 (init 256)
     hf_average: object = None        # [B] i32
     tapset_decision: object = None   # [B] i32
+    # VBR carries (vbr compiles; None at CBR)
+    vbr_reservoir: object = None     # [B] i32 (q3+3 bits)
+    vbr_drift: object = None         # [B] i32
+    vbr_offset: object = None        # [B] i32
+    vbr_count: object = None         # [B] i32
 
 
 def init_state(B: int, nb: int = 21, dtype=jnp.float32,
-               complexity: int = 0) -> CeltBatchState:
+               complexity: int = 0, vbr: bool = False) -> CeltBatchState:
     z = jnp.zeros((B, nb), dtype)
     extra = {}
     if complexity >= 1:
@@ -2257,6 +2263,11 @@ def init_state(B: int, nb: int = 21, dtype=jnp.float32,
                      tonal_average=jnp.full((B,), 256, _i32),
                      hf_average=jnp.zeros((B,), _i32),
                      tapset_decision=jnp.zeros((B,), _i32))
+    if vbr:
+        extra.update(vbr_reservoir=jnp.zeros((B,), _i32),
+                     vbr_drift=jnp.zeros((B,), _i32),
+                     vbr_offset=jnp.zeros((B,), _i32),
+                     vbr_count=jnp.zeros((B,), _i32))
     return CeltBatchState(
         oldBandE=z, oldLogE=z - 28.0, oldLogE2=z - 28.0,
         energyError=z, delayedIntra=jnp.ones((B,), dtype),
@@ -2270,26 +2281,50 @@ def plan_from_spectrum(X, bandLogE, state: CeltBatchState, nbytes,
                        end: int = 21, lsb_depth: int = 24,
                        exact: bool = False, complexity: int = 0,
                        X_short=None, bandLogE_short=None,
-                       is_transient=None, tf_estimate=None):
-    """All post-transform encoder stages for mono/CBR.
+                       is_transient=None, tf_estimate=None,
+                       vbr: bool = False,
+                       constrained_vbr: bool = True):
+    """All post-transform encoder stages for mono.
 
     X: [B, N] unit-normalised LONG-block spectrum; bandLogE: [B, nb]
-    log energies; nbytes: [B] int32 frame budget (already CBR-capped);
-    silence: [B] bool.
+    log energies; nbytes: [B] int32 frame budget (CBR: the frame's
+    byte count; VBR: the upper cap, usually 1275); silence: [B] bool.
 
     ``complexity`` selects the decision set statically: 0 = the
     round-2 constant set; >= 1 adds transient coding + short blocks
     (pass X_short/bandLogE_short — the short-MDCT spectrum — plus the
     transient_analysis_batch outputs); >= 2 tf_analysis; >= 3 the
-    spreading decision.  Returns (PlanCoder, new_state)."""
+    spreading decision.
+
+    With ``vbr`` (celt_encoder.c:744-776, 1090-1152) the budget is
+    re-planned mid-stream from compute_vbr's target and the function
+    returns (PlanCoder, new_state, nbytes_final [B]) — the per-stream
+    packet sizes the packer must use; CBR returns (PlanCoder,
+    new_state)."""
     from . import batch_analysis as ban
     t = make_tables(lm, 1)
     B, nb = bandLogE.shape
     dt = bandLogE.dtype
     c = bc.plan_init(B, MAX_OPS)
+    dq = complexity >= 1 and lm > 0        # default-quality compile
+    frame_size = standard_mode().short_mdct_size << lm
+    nbytes0 = nbytes           # pre-shrink cap (equiv_rate input)
+    if vbr:
+        den = 48000 >> BITRES
+        vbr_rate = (bitrate * frame_size + (den >> 1)) // den
+        effective_bytes = vbr_rate >> (3 + BITRES)
+        if constrained_vbr:
+            # reservoir-capped budget (celt_encoder.c:768-776)
+            max_allowed = jnp.clip(
+                (vbr_rate + vbr_rate - state.vbr_reservoir)
+                >> (BITRES + 3), 2, nbytes)
+            nbytes = jnp.minimum(nbytes, max_allowed)
+        nbytes = jnp.where(silence, 2, nbytes)
+        effective_bytes = jnp.where(silence, 2, effective_bytes)
+    else:
+        effective_bytes = nbytes
     total_bits = nbytes * 8
     nb_available = nbytes
-    dq = complexity >= 1 and lm > 0        # default-quality compile
 
     # silence flag (tell==1 → always coded), then the tell jump
     c = bc.bit_logp(c, jnp.ones((B,), bool), silence.astype(_i32), 15)
@@ -2334,23 +2369,24 @@ def plan_from_spectrum(X, bandLogE, state: CeltBatchState, nbytes,
     spec_avg = state.spec_avg + 0.02 * temporal_vbr
 
     # dynalloc analysis on the pre-feedback energies
-    if dq:
+    if dq or vbr:
         (offsets_steps, maxDepth, importance, spread_weight,
          tot_boost_an) = dynalloc_analysis_batch(
-                bandLogE, state.oldBandE, nbytes, t, lm, start, end,
-                lsb_depth, vbr=False, constrained_vbr=False,
+                bandLogE, state.oldBandE, effective_bytes, t, lm,
+                start, end, lsb_depth, vbr=vbr,
+                constrained_vbr=constrained_vbr,
                 is_transient=isT, full=True)
     else:
         offsets_steps = dynalloc_analysis_batch(
-            bandLogE, state.oldBandE, nbytes, t, lm, start, end,
-            lsb_depth, vbr=False, constrained_vbr=False,
+            bandLogE, state.oldBandE, effective_bytes, t, lm, start,
+            end, lsb_depth, vbr=False, constrained_vbr=False,
             is_transient=jnp.zeros((B,), bool))
 
     # tf analysis (celt_encoder.c:959-992)
     if dq:
         if complexity >= 2:
-            lam = jnp.maximum(80, 20480 // nbytes + 2)
-            enable_tf = nbytes >= 15
+            lam = jnp.maximum(80, 20480 // effective_bytes + 2)
+            enable_tf = effective_bytes >= 15
             tf_res_an, tf_sel_an = ban.tf_analysis_batch(
                 X[:, None, :], jnp.zeros((B,), _i32), isT, tfe, lam,
                 importance, lm, end, end, exact)
@@ -2419,7 +2455,8 @@ def plan_from_spectrum(X, bandLogE, state: CeltBatchState, nbytes,
         c, offsets_steps, t.caps, total_bits_q3, lm, 1, start, end,
         t.e_bands)
 
-    equiv_rate = (nbytes * 8 * 50 << (3 - lm)) - 60 * ((400 >> lm) - 50)
+    equiv_rate = (nbytes0 * 8 * 50 << (3 - lm)) \
+        - 60 * ((400 >> lm) - 50)
     equiv_rate = jnp.minimum(equiv_rate,
                              bitrate - 60 * ((400 >> lm) - 50))
     trim = alloc_trim_batch(bandLogE_fb, equiv_rate, end, exact,
@@ -2428,7 +2465,61 @@ def plan_from_spectrum(X, bandLogE, state: CeltBatchState, nbytes,
     trim = jnp.where(fits, trim, 5)
     c = bc.icdf(c, fits, trim, np.asarray(TRIM_ICDF, np.int32), 7)
 
-    bits_q3 = total_bits_q3 - bc.tell_frac(c) - 1
+    # VBR target + budget replanning (celt_encoder.c:1090-1152 /
+    # encoder.py:1090-1152): the range coder shrinks to the computed
+    # per-stream byte count; everything after uses nbytes_final
+    vbr_state = {}
+    if vbr:
+        tellf = bc.tell_frac(c)
+        lm_diff = 3 - lm
+        nbytes_cap = jnp.minimum(nbytes, 1275 >> (3 - lm))
+        base_target = vbr_rate - (60 << BITRES)     # (40*C+20), C==1
+        if constrained_vbr:
+            # carried rate-correction offset (celt_encoder.c:1098-1099)
+            base_target = base_target + (state.vbr_offset >> lm_diff)
+        tfe_v = tfe if tfe is not None else jnp.zeros((B,), dt)
+        target = compute_vbr_batch(
+            t, base_target, lm, equiv_rate, state.lastCodedBands, 1,
+            None, constrained_vbr, None, tot_boost_an, tfe_v,
+            jnp.zeros((B,), _i32), maxDepth, temporal_vbr)
+        target = target + tellf
+        min_allowed = ((tellf + total_boost
+                        + (1 << (BITRES + 3)) - 1) >> (BITRES + 3)) + 2
+        navail = (target + (1 << (BITRES + 2))) >> (BITRES + 3)
+        navail = jnp.minimum(jnp.maximum(min_allowed, navail),
+                             nbytes_cap)
+        delta = target - vbr_rate
+        target = navail << (BITRES + 3)
+        navail = jnp.where(silence, 2, navail)
+        target = jnp.where(silence, 2 * 8 << BITRES, target)
+        delta = jnp.where(silence, 0, delta)
+        counting = state.vbr_count < 970
+        vbr_count = jnp.where(counting, state.vbr_count + 1,
+                              state.vbr_count)
+        alpha = jnp.where(counting,
+                          1.0 / (vbr_count.astype(dt) + 20.0),
+                          jnp.asarray(0.001, dt))
+        if constrained_vbr:
+            reservoir = state.vbr_reservoir + (target - vbr_rate)
+            drift = state.vbr_drift + (alpha * (
+                (delta << lm_diff) - state.vbr_offset
+                - state.vbr_drift).astype(dt)).astype(_i32)
+            offset = -drift
+            adjust = (-reservoir) // (8 << BITRES)
+            navail = jnp.where((reservoir < 0) & ~silence,
+                               navail + adjust, navail)
+            reservoir = jnp.maximum(reservoir, 0)
+        else:
+            reservoir = state.vbr_reservoir
+            drift = state.vbr_drift
+            offset = state.vbr_offset
+        nbytes_final = jnp.minimum(nbytes_cap, navail)
+        vbr_state = dict(vbr_reservoir=reservoir, vbr_drift=drift,
+                         vbr_offset=offset, vbr_count=vbr_count)
+    else:
+        nbytes_final = nbytes
+
+    bits_q3 = ((nbytes_final * 8) << BITRES) - bc.tell_frac(c) - 1
     if dq:
         # anti-collapse reservation (celt_encoder.c:1156-1158)
         anti_rsv = jnp.where(
@@ -2451,14 +2542,14 @@ def plan_from_spectrum(X, bandLogE, state: CeltBatchState, nbytes,
                                      end)
     c = quant_all_bands_batch(
         c, X, pulses, coded_bands,
-        nbytes * (8 << BITRES) - anti_rsv, balance, t, lm,
+        nbytes_final * (8 << BITRES) - anti_rsv, balance, t, lm,
         start, end, exact, spread=spread_decision, transient=isT,
         tf_change=tf_change, rotations=dq)
     if dq:
         # anti-collapse on/off bit (celt_encoder.c:1187-1189)
         c = bc.bits(c, anti_rsv > 0,
                     (state.consec_transient < 2).astype(_i32), 1)
-    bits_left = nbytes * 8 - bc.tell(c)
+    bits_left = nbytes_final * 8 - bc.tell(c)
     c, oldBandE, error = energy_finalise(c, oldBandE, error, ebits,
                                          fine_pri, bits_left, start, end)
 
@@ -2486,6 +2577,7 @@ def plan_from_spectrum(X, bandLogE, state: CeltBatchState, nbytes,
         consec = jnp.where(transient_got_disabled == 1,
                            state.consec_transient + 1, 0)
         extra = {}
+    extra.update(vbr_state)
     new_state = CeltBatchState(
         oldBandE=oldBandE,
         oldLogE2=oldLogE2,
@@ -2495,6 +2587,8 @@ def plan_from_spectrum(X, bandLogE, state: CeltBatchState, nbytes,
         spec_avg=spec_avg,
         lastCodedBands=lastCodedBands,
         consec_transient=consec, **extra)
+    if vbr:
+        return c, new_state, nbytes_final
     return c, new_state
 
 
@@ -2505,11 +2599,12 @@ def tell_of(c: PlanCoder):
 plan_from_spectrum_jit = jax.jit(
     plan_from_spectrum,
     static_argnames=("lm", "start", "end", "lsb_depth", "exact",
-                     "complexity"))
+                     "complexity", "vbr", "constrained_vbr"))
 
 
 def init_state_stereo(B: int, nb: int = 21, dtype=jnp.float32,
-                      complexity: int = 0) -> CeltBatchState:
+                      complexity: int = 0,
+                      vbr: bool = False) -> CeltBatchState:
     z = jnp.zeros((B, 2, nb), dtype)
     extra = {}
     if complexity >= 1:
@@ -2517,6 +2612,11 @@ def init_state_stereo(B: int, nb: int = 21, dtype=jnp.float32,
                      tonal_average=jnp.full((B,), 256, _i32),
                      hf_average=jnp.zeros((B,), _i32),
                      tapset_decision=jnp.zeros((B,), _i32))
+    if vbr:
+        extra.update(vbr_reservoir=jnp.zeros((B,), _i32),
+                     vbr_drift=jnp.zeros((B,), _i32),
+                     vbr_offset=jnp.zeros((B,), _i32),
+                     vbr_count=jnp.zeros((B,), _i32))
     return CeltBatchState(
         oldBandE=z, oldLogE=z - 28.0, oldLogE2=z - 28.0,
         energyError=z, delayedIntra=jnp.ones((B,), dtype),
@@ -2535,7 +2635,9 @@ def plan_from_spectrum_stereo(X, Y, bandLogE, bandE, state: CeltBatchState,
                               complexity: int = 0, X_short=None,
                               Y_short=None, bandLogE_short=None,
                               bandE_short=None, is_transient=None,
-                              tf_estimate=None, tf_chan=None):
+                              tf_estimate=None, tf_chan=None,
+                              vbr: bool = False,
+                              constrained_vbr: bool = True):
     """All post-transform encoder stages for stereo/CBR
     (celt_encoder.c:1431-2356 with C == 2: intensity/dual-stereo
     decisions, C-doubled energy coding, the stereo band tree).
@@ -2552,9 +2654,24 @@ def plan_from_spectrum_stereo(X, Y, bandLogE, bandE, state: CeltBatchState,
     B, _, nb = bandLogE.shape
     dt = bandLogE.dtype
     c = bc.plan_init(B, MAX_OPS)
+    dq = complexity >= 1 and lm > 0
+    frame_size = standard_mode().short_mdct_size << lm
+    nbytes0 = nbytes
+    if vbr:
+        den = 48000 >> BITRES
+        vbr_rate = (bitrate * frame_size + (den >> 1)) // den
+        effective_bytes = vbr_rate >> (3 + BITRES)
+        if constrained_vbr:
+            max_allowed = jnp.clip(
+                (vbr_rate + vbr_rate - state.vbr_reservoir)
+                >> (BITRES + 3), 2, nbytes)
+            nbytes = jnp.minimum(nbytes, max_allowed)
+        nbytes = jnp.where(silence, 2, nbytes)
+        effective_bytes = jnp.where(silence, 2, effective_bytes)
+    else:
+        effective_bytes = nbytes
     total_bits = nbytes * 8
     nb_available = nbytes
-    dq = complexity >= 1 and lm > 0
 
     # silence flag (tell==1 → always coded), then the tell jump
     c = bc.bit_logp(c, jnp.ones((B,), bool), silence.astype(_i32), 15)
@@ -2603,24 +2720,25 @@ def plan_from_spectrum_stereo(X, Y, bandLogE, bandE, state: CeltBatchState,
     spec_avg = state.spec_avg + 0.02 * temporal_vbr
 
     # dynalloc analysis on the pre-feedback energies
-    if dq:
+    if dq or vbr:
         (offsets_steps, maxDepth, importance, spread_weight,
          tot_boost_an) = dynalloc_analysis_batch(
-                bandLogE, state.oldBandE, nbytes, t, lm, start, end,
-                lsb_depth, vbr=False, constrained_vbr=False,
+                bandLogE, state.oldBandE, effective_bytes, t, lm,
+                start, end, lsb_depth, vbr=vbr,
+                constrained_vbr=constrained_vbr,
                 is_transient=isT, full=True)
     else:
         offsets_steps = dynalloc_analysis_batch(
-            bandLogE, state.oldBandE, nbytes, t, lm, start, end,
-            lsb_depth, vbr=False, constrained_vbr=False,
+            bandLogE, state.oldBandE, effective_bytes, t, lm, start,
+            end, lsb_depth, vbr=False, constrained_vbr=False,
             is_transient=jnp.zeros((B,), bool))
 
     # tf analysis (celt_encoder.c:959-992)
     if dq:
         XY = jnp.stack([X, Y], axis=1)
         if complexity >= 2:
-            lam = jnp.maximum(80, 20480 // nbytes + 2)
-            enable_tf = nbytes >= 15 * C
+            lam = jnp.maximum(80, 20480 // effective_bytes + 2)
+            enable_tf = effective_bytes >= 15 * C
             tf_res_an, tf_sel_an = ban.tf_analysis_batch(
                 XY, tf_chan, isT, tfe, lam, importance, lm, end, end,
                 exact)
@@ -2691,7 +2809,7 @@ def plan_from_spectrum_stereo(X, Y, bandLogE, bandE, state: CeltBatchState,
 
     # intensity hysteresis + dual-stereo decision
     # (celt_encoder.c:2051-2075)
-    equiv_rate = (nbytes * 8 * 50 << (3 - lm)) \
+    equiv_rate = (nbytes0 * 8 * 50 << (3 - lm)) \
         - (40 * C + 20) * ((400 >> lm) - 50)
     equiv_rate = jnp.minimum(
         equiv_rate, bitrate - (40 * C + 20) * ((400 >> lm) - 50))
@@ -2713,7 +2831,58 @@ def plan_from_spectrum_stereo(X, Y, bandLogE, bandE, state: CeltBatchState,
     stereo_saving = jnp.where(fits, stereo_saving, state.stereo_saving)
     c = bc.icdf(c, fits, trim, np.asarray(TRIM_ICDF, np.int32), 7)
 
-    bits_q3 = total_bits_q3 - bc.tell_frac(c) - 1
+    # VBR target + budget replanning (celt_encoder.c:1090-1152)
+    vbr_state = {}
+    if vbr:
+        tellf = bc.tell_frac(c)
+        lm_diff = 3 - lm
+        nbytes_cap = jnp.minimum(nbytes, 1275 >> (3 - lm))
+        base_target = vbr_rate - ((40 * C + 20) << BITRES)
+        if constrained_vbr:
+            base_target = base_target + (state.vbr_offset >> lm_diff)
+        tfe_v = tfe if tfe is not None else jnp.zeros((B,), dt)
+        target = compute_vbr_batch(
+            t, base_target, lm, equiv_rate, state.lastCodedBands, C,
+            intensity, constrained_vbr, stereo_saving, tot_boost_an,
+            tfe_v, jnp.zeros((B,), _i32), maxDepth, temporal_vbr)
+        target = target + tellf
+        min_allowed = ((tellf + total_boost
+                        + (1 << (BITRES + 3)) - 1) >> (BITRES + 3)) + 2
+        navail = (target + (1 << (BITRES + 2))) >> (BITRES + 3)
+        navail = jnp.minimum(jnp.maximum(min_allowed, navail),
+                             nbytes_cap)
+        delta = target - vbr_rate
+        target = navail << (BITRES + 3)
+        navail = jnp.where(silence, 2, navail)
+        target = jnp.where(silence, 2 * 8 << BITRES, target)
+        delta = jnp.where(silence, 0, delta)
+        counting = state.vbr_count < 970
+        vbr_count = jnp.where(counting, state.vbr_count + 1,
+                              state.vbr_count)
+        alpha = jnp.where(counting,
+                          1.0 / (vbr_count.astype(dt) + 20.0),
+                          jnp.asarray(0.001, dt))
+        if constrained_vbr:
+            reservoir = state.vbr_reservoir + (target - vbr_rate)
+            drift = state.vbr_drift + (alpha * (
+                (delta << lm_diff) - state.vbr_offset
+                - state.vbr_drift).astype(dt)).astype(_i32)
+            offset = -drift
+            adjust = (-reservoir) // (8 << BITRES)
+            navail = jnp.where((reservoir < 0) & ~silence,
+                               navail + adjust, navail)
+            reservoir = jnp.maximum(reservoir, 0)
+        else:
+            reservoir = state.vbr_reservoir
+            drift = state.vbr_drift
+            offset = state.vbr_offset
+        nbytes_final = jnp.minimum(nbytes_cap, navail)
+        vbr_state = dict(vbr_reservoir=reservoir, vbr_drift=drift,
+                         vbr_offset=offset, vbr_count=vbr_count)
+    else:
+        nbytes_final = nbytes
+
+    bits_q3 = ((nbytes_final * 8) << BITRES) - bc.tell_frac(c) - 1
     if dq:
         anti_rsv = jnp.where(
             isT & (lm >= 2) & (bits_q3 >= ((lm + 2) << BITRES)),
@@ -2736,7 +2905,7 @@ def plan_from_spectrum_stereo(X, Y, bandLogE, bandE, state: CeltBatchState,
                                      end)
     c = quant_all_bands_batch(
         c, X, pulses, coded_bands,
-        nbytes * (8 << BITRES) - anti_rsv, balance, t,
+        nbytes_final * (8 << BITRES) - anti_rsv, balance, t,
         lm, start, end, exact, Y=Y, intensity=intensity,
         dual_stereo=dual_stereo, bandE=bandE, disable_inv=disable_inv,
         spread=spread_decision, transient=isT, tf_change=tf_change,
@@ -2744,7 +2913,7 @@ def plan_from_spectrum_stereo(X, Y, bandLogE, bandE, state: CeltBatchState,
     if dq:
         c = bc.bits(c, anti_rsv > 0,
                     (state.consec_transient < 2).astype(_i32), 1)
-    bits_left = nbytes * 8 - bc.tell(c)
+    bits_left = nbytes_final * 8 - bc.tell(c)
     c, oldBandE, error = energy_finalise(c, oldBandE, error, ebits,
                                          fine_pri, bits_left, start, end)
 
@@ -2772,6 +2941,7 @@ def plan_from_spectrum_stereo(X, Y, bandLogE, bandE, state: CeltBatchState,
         consec = jnp.where(transient_got_disabled == 1,
                            state.consec_transient + 1, 0)
         extra = {}
+    extra.update(vbr_state)
     new_state = CeltBatchState(
         oldBandE=oldBandE,
         oldLogE2=oldLogE2,
@@ -2783,13 +2953,16 @@ def plan_from_spectrum_stereo(X, Y, bandLogE, bandE, state: CeltBatchState,
         consec_transient=consec,
         intensity=intensity,
         stereo_saving=stereo_saving, **extra)
+    if vbr:
+        return c, new_state, nbytes_final
     return c, new_state
 
 
 plan_from_spectrum_stereo_jit = jax.jit(
     plan_from_spectrum_stereo,
     static_argnames=("lm", "start", "end", "lsb_depth", "exact",
-                     "disable_inv", "complexity"))
+                     "disable_inv", "complexity", "vbr",
+                     "constrained_vbr"))
 
 
 def cbr_bytes(bitrate: int, frame_size: int, fs: int,
@@ -2811,10 +2984,12 @@ class CeltStreamState(NamedTuple):
 
 
 def init_stream_state(B: int, dtype=jnp.float32,
-                      complexity: int = 0) -> CeltStreamState:
+                      complexity: int = 0,
+                      vbr: bool = False) -> CeltStreamState:
     m = standard_mode()
     return CeltStreamState(
-        celt=init_state(B, dtype=dtype, complexity=complexity),
+        celt=init_state(B, dtype=dtype, complexity=complexity,
+                        vbr=vbr),
         preemph_mem=jnp.zeros((B,), dtype),
         in_mem=jnp.zeros((B, m.overlap), dtype),
         overlap_max=jnp.zeros((B,), dtype))
@@ -2822,7 +2997,9 @@ def init_stream_state(B: int, dtype=jnp.float32,
 
 def celt_encode_batch_plan(pcm, st: CeltStreamState, nbytes, bitrate,
                            lm: int = 3, lsb_depth: int = 24,
-                           exact: bool = False, complexity: int = 0):
+                           exact: bool = False, complexity: int = 0,
+                           vbr: bool = False,
+                           constrained_vbr: bool = True):
     """One 20 ms frame for a batch of mono streams: preemphasis, MDCT,
     band energies, normalisation (celt.batch matmul transforms) and the
     full symbol-planning pass.  pcm: [B, N] in [-1, 1].
@@ -2869,25 +3046,36 @@ def celt_encode_batch_plan(pcm, st: CeltStreamState, nbytes, bitrate,
                   bandLogE_short=bandLogE_s.astype(dt),
                   is_transient=is_t, tf_estimate=tfe.astype(dt))
 
-    c, celt2 = plan_from_spectrum(X.astype(dt), bandLogE.astype(dt),
-                                  st.celt, nbytes, silence, bitrate,
-                                  lm=lm, lsb_depth=lsb_depth,
-                                  exact=exact, complexity=complexity,
-                                  **kw)
-    return c, CeltStreamState(celt=celt2, preemph_mem=pmem,
-                              in_mem=in_mem2, overlap_max=new_ovm)
+    out = plan_from_spectrum(X.astype(dt), bandLogE.astype(dt),
+                             st.celt, nbytes, silence, bitrate,
+                             lm=lm, lsb_depth=lsb_depth,
+                             exact=exact, complexity=complexity,
+                             vbr=vbr, constrained_vbr=constrained_vbr,
+                             **kw)
+    if vbr:
+        c, celt2, sizes = out
+    else:
+        c, celt2 = out
+    st2 = CeltStreamState(celt=celt2, preemph_mem=pmem,
+                          in_mem=in_mem2, overlap_max=new_ovm)
+    if vbr:
+        return c, st2, sizes
+    return c, st2
 
 
 celt_encode_batch_plan_jit = jax.jit(
     celt_encode_batch_plan,
-    static_argnames=("lm", "lsb_depth", "exact", "complexity"))
+    static_argnames=("lm", "lsb_depth", "exact", "complexity", "vbr",
+                     "constrained_vbr"))
 
 
 def init_stream_state_stereo(B: int, dtype=jnp.float32,
-                             complexity: int = 0) -> CeltStreamState:
+                             complexity: int = 0,
+                             vbr: bool = False) -> CeltStreamState:
     m = standard_mode()
     return CeltStreamState(
-        celt=init_state_stereo(B, dtype=dtype, complexity=complexity),
+        celt=init_state_stereo(B, dtype=dtype, complexity=complexity,
+                               vbr=vbr),
         preemph_mem=jnp.zeros((B, 2), dtype),
         in_mem=jnp.zeros((B, 2, m.overlap), dtype),
         overlap_max=jnp.zeros((B,), dtype))
@@ -2897,7 +3085,9 @@ def celt_encode_batch_plan_stereo(pcm, st: CeltStreamState, nbytes,
                                   bitrate, lm: int = 3,
                                   lsb_depth: int = 24,
                                   exact: bool = False,
-                                  complexity: int = 0):
+                                  complexity: int = 0,
+                                  vbr: bool = False,
+                                  constrained_vbr: bool = True):
     """One frame for a batch of *stereo* streams: per-channel
     preemphasis/MDCT/band energies (celt.batch matmuls over the
     flattened [2B] channel axis) and the stereo symbol-planning pass.
@@ -2950,15 +3140,24 @@ def celt_encode_batch_plan_stereo(pcm, st: CeltStreamState, nbytes,
                   is_transient=is_t, tf_estimate=tfe.astype(dt),
                   tf_chan=tfc)
 
-    c, celt2 = plan_from_spectrum_stereo(
+    out = plan_from_spectrum_stereo(
         Xn[:, 0].astype(dt), Xn[:, 1].astype(dt), bandLogE.astype(dt),
         bandE.astype(dt), st.celt, nbytes, silence, bitrate, lm=lm,
-        lsb_depth=lsb_depth, exact=exact, complexity=complexity, **kw)
-    return c, CeltStreamState(celt=celt2,
-                              preemph_mem=pmem2.reshape(B, C),
-                              in_mem=in_mem2, overlap_max=new_ovm)
+        lsb_depth=lsb_depth, exact=exact, complexity=complexity,
+        vbr=vbr, constrained_vbr=constrained_vbr, **kw)
+    if vbr:
+        c, celt2, sizes = out
+    else:
+        c, celt2 = out
+    st2 = CeltStreamState(celt=celt2,
+                          preemph_mem=pmem2.reshape(B, C),
+                          in_mem=in_mem2, overlap_max=new_ovm)
+    if vbr:
+        return c, st2, sizes
+    return c, st2
 
 
 celt_encode_batch_plan_stereo_jit = jax.jit(
     celt_encode_batch_plan_stereo,
-    static_argnames=("lm", "lsb_depth", "exact", "complexity"))
+    static_argnames=("lm", "lsb_depth", "exact", "complexity", "vbr",
+                     "constrained_vbr"))
