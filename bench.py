@@ -154,11 +154,12 @@ def main():
     complexity = int(os.environ.get("BENCH_COMPLEXITY", "0"))
     N = 960
 
-    def run_lane(channels, B, steps, measure_tunnel=False):
+    def run_lane(channels, B, steps, measure_tunnel=False, cplx=None):
         """One config's bench: returns (e2e_rtf or None, device_rtf,
         upload_MBps or None)."""
-        enc = CeltBatchEncoder(B, bitrate=bitrate, channels=channels,
-                               complexity=complexity)
+        enc = CeltBatchEncoder(
+            B, bitrate=bitrate, channels=channels,
+            complexity=complexity if cplx is None else cplx)
         rng = np.random.default_rng(0)
         t = np.arange(N) / 48000.0
         freqs = 100.0 + rng.uniform(0, 4000, size=(B, 1))
@@ -243,6 +244,9 @@ def main():
     _, dev_st, _ = run_lane(2, B, steps)
     # secondary: the mono lane tracked since round 2
     _, dev_mono, _ = run_lane(1, B, steps)
+    # secondary: the default-quality tier (transients/tf/rotations)
+    _, dev_dq, _ = run_lane(2, min(B, 4096), max(steps // 2, 4),
+                            cplx=max(complexity, 2))
 
     baseline_per_chip_stereo = 10000.0 / 8.0
     print(json.dumps({
@@ -255,6 +259,7 @@ def main():
         "device_vs_baseline": round(dev_st / baseline_per_chip_stereo,
                                     3),
         "mono_device_rtf": round(dev_mono, 1),
+        "dq_stereo_device_rtf": round(dev_dq, 1),
         "tunnel_upload_MBps": round(up_st, 1),
         "platform": platform,
         "note": ("north-star config (BASELINE.json: 10000x aggregate "
